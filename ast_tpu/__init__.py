@@ -1,0 +1,29 @@
+"""ast_tpu — a TPU-native audio style transfer framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+francescobrigante/Audio-Style-Transfer (piano<->violin neural style transfer
+via disentangled style/content representations): on-device complex STFT+CQT
+feature extraction, CNN+Transformer style/content encoders, an autoregressive
+transformer decoder with a lax.scan KV-cache decode loop, the full
+InfoNCE/margin/HSIC/adversarial/multi-scale-reconstruction loss stack, a
+curriculum GAN training step, and evaluation drivers — designed for jit/pjit
+over device meshes rather than ported from the reference's single-GPU torch
+code.
+"""
+
+__version__ = "0.1.0"
+
+from ast_tpu.config import (
+    AudioConfig,
+    Config,
+    CurriculumSchedule,
+    DEFAULT_CONFIG,
+    LossWeights,
+    ModelConfig,
+    TrainConfig,
+)
+
+__all__ = [
+    "AudioConfig", "Config", "CurriculumSchedule", "DEFAULT_CONFIG",
+    "LossWeights", "ModelConfig", "TrainConfig", "__version__",
+]

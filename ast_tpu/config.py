@@ -1,0 +1,190 @@
+"""Frozen configuration dataclasses for the whole framework.
+
+The reference scatters module-level constants across entry points
+(reference: utilityFunctions.py:8-10, evaluation_reconstruction.py:17-33,
+evaluation_style_transfer.py:19-36) with *divergent* values (overlap 96 vs 86).
+Here there is exactly one config object per concern, consumed everywhere; the
+two historical overlap values are both representable (`overlap_frames` for the
+training/data path, `eval_overlap_frames` for the eval/inference path) so the
+reference's observed behavior can be reproduced or unified behind one flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """Audio/DSP constants (reference: utilityFunctions.py:8-10,12,39,105)."""
+
+    sample_rate: int = 22050
+    clip_seconds: float = 10.0
+
+    # STFT
+    n_fft: int = 1024
+    hop_length: int = 256
+
+    # CQT
+    cqt_bins: int = 84
+    cqt_bins_per_octave: int = 12
+    cqt_fmin: float = 32.70319566257483  # C1, librosa.note_to_hz("C1")
+    cqt_filter_scale: float = 1.0
+    cqt_sparsity: float = 0.01
+
+    # Windowing of spectrogram frames into model sections
+    window_size: int = 287          # frames per section
+    overlap_frames: int = 96        # training/data path (utilityFunctions.py:10)
+    eval_overlap_frames: int = 86   # eval path int(287*0.3) (evaluation_style_transfer.py:27)
+
+    @property
+    def clip_samples(self) -> int:
+        return int(self.clip_seconds * self.sample_rate)
+
+    @property
+    def stft_bins(self) -> int:
+        return self.n_fft // 2 + 1  # 513
+
+    @property
+    def feat_bins(self) -> int:
+        return self.stft_bins + self.cqt_bins  # 597
+
+    @property
+    def frames_per_clip(self) -> int:
+        # torch.stft(center=True): 1 + n_samples // hop
+        return 1 + self.clip_samples // self.hop_length  # 862
+
+    def num_windows(self, n_frames: int, overlap: int | None = None) -> int:
+        """Number of overlap windows produced for a T-frame spectrogram
+        (reference: utilityFunctions.py:240-263 loop semantics)."""
+        overlap = self.overlap_frames if overlap is None else overlap
+        step = self.window_size - overlap
+        n = 0
+        for start in range(0, n_frames, step):
+            end = min(start + self.window_size, n_frames)
+            if end - start < self.window_size * 0.5:
+                break
+            n += 1
+            if end == n_frames:
+                break
+        return n
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters (reference: style_encoder.py:151-197,
+    content_encoder.py:10-68, SimpleDecoder_TransformerOnly.py:10-45,
+    discriminator.py:15)."""
+
+    in_channels: int = 2
+    cnn_channels: Tuple[int, ...] = (32, 64, 128, 256, 512, 512)
+    cnn_out_dim: int = 256
+    d_model: int = 256
+    num_heads: int = 4
+    num_layers: int = 4
+    ff_mult: int = 4
+    dropout: float = 0.1
+    disc_hidden: int = 128
+    num_classes: int = 2
+    max_len: int = 500              # sinusoidal PE table length
+    window_size: int = 287          # decoder frame height
+    stft_bins: int = 513            # decoder frame width
+    feat_bins: int = 597            # encoder input width (stft+cqt)
+    use_cls: bool = True
+    # Compute dtype for the forward pass; params stay float32.
+    dtype: str = "float32"
+
+    @property
+    def stft_dim(self) -> int:
+        return 2 * self.window_size * self.stft_bins  # 294462
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def tiny(self) -> "ModelConfig":
+        """A scaled-down config for CI/dry-run tests (same topology)."""
+        return dataclasses.replace(
+            self,
+            cnn_channels=(8, 16),
+            cnn_out_dim=32,
+            d_model=32,
+            num_heads=2,
+            num_layers=2,
+            disc_hidden=16,
+            window_size=16,
+            stft_bins=24,
+            feat_bins=32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Loss weighting (reference: losses.py + SimpleDecoder…:195-201 and the
+    bundled paper §3.5; MSE weight 1.0 matches the primary decoder variant,
+    new_decoder.py:405 uses 2.0)."""
+
+    mse: float = 1.0
+    magnitude: float = 0.5
+    phase: float = 0.2
+    temporal: float = 0.3
+    spectral: float = 0.1
+
+    infonce: float = 1.0
+    infonce_temperature: float = 0.1
+    margin: float = 1.0
+    margin_value: float = 2.0
+    hsic: float = 20.0
+    adv_style: float = 1.0
+    adv_content: float = 1.0
+    adv_class: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class CurriculumSchedule:
+    """4-phase curriculum (reference: README.md:144-150, paper §3.5/Appendix:
+    recon -> +contrastive -> +HSIC -> +adversarial with dynamic weight)."""
+
+    phase_epochs: Tuple[int, ...] = (10, 20, 30)  # phase boundaries
+    adv_weight_max: float = 1.0
+    adv_warmup_epochs: int = 10
+
+    def weights_at(self, epoch: int) -> dict:
+        contrastive = 1.0 if epoch >= self.phase_epochs[0] else 0.0
+        hsic = 1.0 if epoch >= self.phase_epochs[1] else 0.0
+        if epoch >= self.phase_epochs[2]:
+            ramp = min(1.0, (epoch - self.phase_epochs[2] + 1) / max(1, self.adv_warmup_epochs))
+            adv = self.adv_weight_max * ramp
+        else:
+            adv = 0.0
+        return {"contrastive": contrastive, "hsic": hsic, "adversarial": adv}
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    learning_rate: float = 1e-4
+    disc_learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    warmup_steps: int = 500
+    grad_clip_norm: float = 1.0
+    num_epochs: int = 100
+    checkpoint_every: int = 10
+    seed: int = 0
+    # mesh axis sizes; (n, 1) = pure data parallel
+    mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossWeights = dataclasses.field(default_factory=LossWeights)
+    curriculum: CurriculumSchedule = dataclasses.field(default_factory=CurriculumSchedule)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+DEFAULT_CONFIG = Config()

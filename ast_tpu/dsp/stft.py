@@ -1,0 +1,139 @@
+"""On-device STFT / inverse STFT.
+
+TPU-native replacement for the reference's `torch.stft` / `torch.istft` calls
+(reference: utilityFunctions.py:12-37, 62-82). Everything is pure jnp — a
+single gather + batched rFFT for the forward, a scatter-add OLA with
+window-envelope normalization for the inverse — so both ends jit, fuse, and
+run on TPU instead of round-tripping through ATen on the host.
+
+Semantics are pinned to torch defaults (verified by golden tests in
+tests/test_stft.py):
+  * center=True, pad_mode='reflect', onesided, normalized=False
+  * frames = 1 + n_samples // hop
+  * istft output length = hop * (frames - 1) when length is None
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window, identical to torch.hann_window(n)."""
+    k = np.arange(n)
+    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))
+    return jnp.asarray(w, dtype=dtype)
+
+
+def _frame_indices(n_samples_padded: int, n_fft: int, hop: int) -> np.ndarray:
+    n_frames = 1 + (n_samples_padded - n_fft) // hop
+    return (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).astype(np.int32)
+
+
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.ndarray:
+    """Slice a (..., n_samples) signal into (..., n_frames, n_fft) frames.
+
+    With center=True the signal is reflect-padded by n_fft//2 on both sides
+    first (torch.stft default)."""
+    if center:
+        pad = n_fft // 2
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, pad_widths, mode="reflect")
+    idx = _frame_indices(x.shape[-1], n_fft, hop)
+    return x[..., idx]
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT of a (..., n_samples) signal -> (..., n_frames, n_fft//2+1).
+
+    Note the layout is time-major (frames, freq) — the natural layout for the
+    rest of the pipeline — whereas torch returns (freq, frames)."""
+    if window is None:
+        window = hann_window(n_fft, dtype=x.dtype)
+    frames = frame_signal(x, n_fft, hop_length, center=center)
+    return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+
+
+def stft_ri(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    center: bool = True,
+) -> jnp.ndarray:
+    """STFT in the reference's packed layout: (2, T, F) with channel 0 = real,
+    channel 1 = imag (reference: utilityFunctions.py:31-37)."""
+    s = stft(x, n_fft=n_fft, hop_length=hop_length, center=center)
+    return jnp.stack([jnp.real(s), jnp.imag(s)], axis=0).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _ola_envelope(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
+    """Sum of squared windows at each output sample (torch.istft denominator)."""
+    w = np.asarray(hann_window(n_fft)) ** 2
+    total = n_fft + hop * (n_frames - 1)
+    env = np.zeros(total, dtype=np.float64)
+    for t in range(n_frames):
+        env[t * hop : t * hop + n_fft] += w
+    return env.astype(np.float32)
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    window: jnp.ndarray | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT of a complex (..., n_frames, n_fft//2+1) spectrogram.
+
+    Matches torch.istft: windowed overlap-add divided by the squared-window
+    envelope, center padding trimmed, default length hop*(n_frames-1)."""
+    n_frames = spec.shape[-2]
+    if window is None:
+        window = hann_window(n_fft)
+
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window  # (..., n_frames, n_fft)
+
+    total = n_fft + hop_length * (n_frames - 1)
+    idx = _frame_indices(total, n_fft, hop_length)  # (n_frames, n_fft)
+
+    lead_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, n_frames, n_fft))
+    out = jnp.zeros((flat.shape[0], total), dtype=frames.dtype)
+    out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+
+    env = jnp.asarray(_ola_envelope(n_frames, n_fft, hop_length))
+    out = out / jnp.where(env > 1e-11, env, 1.0)
+
+    if center:
+        pad = n_fft // 2
+        out = out[:, pad : total - pad]
+    if length is not None:
+        out = out[:, :length]
+        deficit = length - out.shape[1]
+        if deficit > 0:
+            out = jnp.pad(out, ((0, 0), (0, deficit)))
+    return out.reshape(lead_shape + (out.shape[-1],))
+
+
+def istft_ri(
+    spec_ri: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT from the packed (2, T, F) real/imag layout
+    (reference: utilityFunctions.py:62-82)."""
+    spec = jax.lax.complex(spec_ri[0], spec_ri[1])
+    return istft(spec, n_fft=n_fft, hop_length=hop_length, length=length)

@@ -1,0 +1,114 @@
+"""Spectrogram windowing: slicing into fixed-size overlapping sections and
+overlap-average reconstruction.
+
+TPU-native rework of the reference's Python loops
+(reference: utilityFunctions.py:240-263 `get_overlap_windows`,
+utilityFunctions.py:265-283 `sections2spectrogram`): the slice loop becomes a
+single static gather (one XLA op), the reconstruction loop a scatter-add with
+a precomputed per-frame count — both jittable and batchable.
+
+Semantics preserved exactly:
+  * step = window_size - overlap
+  * trailing window shorter than window_size/2 is dropped; shorter-but-kept
+    windows are zero-padded to window_size
+  * reconstruction averages overlapping frames and crops to `original_size`
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ast_tpu.config import AudioConfig
+
+_DEF = AudioConfig()
+
+
+@functools.lru_cache(maxsize=32)
+def window_starts(n_time: int, window_size: int, overlap: int) -> tuple:
+    """Start frame of each kept window (reference loop semantics,
+    utilityFunctions.py:249-261)."""
+    step = window_size - overlap
+    starts = []
+    for start in range(0, n_time, step):
+        end = min(start + window_size, n_time)
+        if end - start < window_size * 0.5:
+            break
+        starts.append(start)
+        if end == n_time:
+            break
+    return tuple(starts)
+
+
+def num_windows(n_time: int, window_size: int = _DEF.window_size,
+                overlap: int = _DEF.overlap_frames) -> int:
+    return len(window_starts(n_time, window_size, overlap))
+
+
+def get_overlap_windows(
+    spec: jnp.ndarray,
+    window_size: int = _DEF.window_size,
+    overlap_frames: int = _DEF.overlap_frames,
+) -> jnp.ndarray:
+    """(2, T, F) -> (S, 2, window_size, F), with zero-padded tail windows.
+
+    T is static under jit (XLA requirement), so the gather index matrix is a
+    trace-time constant."""
+    _, n_time, _ = spec.shape
+    starts = np.asarray(window_starts(n_time, window_size, overlap_frames))
+    if starts.size == 0:
+        raise ValueError(f"spectrogram too short: T={n_time} < {window_size/2}")
+    # frame index per (section, position); positions past T map to a zero pad.
+    idx = starts[:, None] + np.arange(window_size)[None, :]  # (S, W)
+    valid = idx < n_time
+    idx = np.where(valid, idx, 0)
+    gathered = spec[:, idx, :]  # (2, S, W, F)
+    gathered = gathered * jnp.asarray(valid[None, :, :, None], dtype=spec.dtype)
+    return jnp.transpose(gathered, (1, 0, 2, 3))
+
+
+@functools.lru_cache(maxsize=32)
+def _ola_counts(n_sections: int, window_size: int, overlap: int) -> np.ndarray:
+    hop = window_size - overlap
+    n_time = hop * (n_sections - 1) + window_size
+    count = np.zeros(n_time, dtype=np.float32)
+    for i in range(n_sections):
+        count[i * hop : i * hop + window_size] += 1.0
+    return np.maximum(count, 1.0)
+
+
+def sections2spectrogram(
+    sections: jnp.ndarray,
+    original_size: int,
+    overlap: int = _DEF.overlap_frames,
+) -> jnp.ndarray:
+    """(S, 2, W, F) -> (2, original_size, F) by overlap-averaging
+    (reference: utilityFunctions.py:265-283)."""
+    n_sections, ch, window_size, n_freq = sections.shape
+    hop = window_size - overlap
+    n_time = hop * (n_sections - 1) + window_size
+
+    idx = (np.arange(n_sections)[:, None] * hop + np.arange(window_size)[None, :]).reshape(-1)
+    flat = jnp.transpose(sections, (1, 0, 2, 3)).reshape(ch, -1, n_freq)  # (2, S*W, F)
+    full = jnp.zeros((ch, n_time, n_freq), dtype=sections.dtype)
+    full = full.at[:, idx, :].add(flat)
+    count = jnp.asarray(_ola_counts(n_sections, window_size, overlap))
+    full = full / count[None, :, None]
+    out = full[:, :original_size, :]
+    if original_size > n_time:
+        out = jnp.pad(out, ((0, 0), (0, original_size - n_time), (0, 0)))
+    return out
+
+
+def concat_stft_cqt(stft_ri: jnp.ndarray, cqt_ri: jnp.ndarray) -> jnp.ndarray:
+    """Concatenate (2, T, F1) and (2, T, F2) on the frequency axis
+    (reference: utilityFunctions.py:285-299)."""
+    if stft_ri.ndim != 3 or cqt_ri.ndim != 3:
+        raise ValueError(f"Both tensors must be 3D, got {stft_ri.ndim}D and {cqt_ri.ndim}D.")
+    if stft_ri.shape[0] != cqt_ri.shape[0] or stft_ri.shape[1] != cqt_ri.shape[1]:
+        raise ValueError(
+            f"Channel/Time mismatch: stft {stft_ri.shape[:2]} vs cqt {cqt_ri.shape[:2]}"
+        )
+    return jnp.concatenate([stft_ri, cqt_ri], axis=2)

@@ -1,0 +1,77 @@
+"""Golden-value parity tests: ast_tpu.dsp.stft vs torch.stft/istft (CPU).
+
+Pins the DSP layer to the reference's exact numerics
+(reference: utilityFunctions.py:12-37, 62-82)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ast_tpu.dsp import stft as _dsp
+import sys
+S = sys.modules['ast_tpu.dsp.stft']
+
+N_FFT, HOP = 1024, 256
+
+
+def torch_stft_ri(x: np.ndarray) -> np.ndarray:
+    """The reference get_STFT pipeline on a raw numpy signal -> (2, T, F)."""
+    w = torch.from_numpy(x)
+    win = torch.hann_window(N_FFT)
+    st = torch.stft(w.unsqueeze(0), n_fft=N_FFT, hop_length=HOP, window=win,
+                    return_complex=True).squeeze(0)
+    out = torch.stack([st.real, st.imag], dim=-1).permute(2, 1, 0)
+    return out.numpy()
+
+
+def test_stft_matches_torch(audio_clip):
+    ours = np.asarray(S.stft_ri(jnp.asarray(audio_clip), n_fft=N_FFT, hop_length=HOP))
+    ref = torch_stft_ri(audio_clip)
+    assert ours.shape == ref.shape
+    assert ours.shape[0] == 2 and ours.shape[2] == 513
+    # frames = 1 + n//hop
+    assert ours.shape[1] == 1 + len(audio_clip) // HOP
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_stft_window_function():
+    ours = np.asarray(S.hann_window(N_FFT))
+    ref = torch.hann_window(N_FFT).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_istft_matches_torch(audio_clip):
+    ref_spec = torch_stft_ri(audio_clip)
+    # torch istft of the same spectrogram
+    st = torch.complex(torch.from_numpy(ref_spec[0]), torch.from_numpy(ref_spec[1]))
+    st = st.permute(1, 0).unsqueeze(0)  # (1, F, T)
+    win = torch.hann_window(N_FFT)
+    ref_wav = torch.istft(st, n_fft=N_FFT, hop_length=HOP, window=win).squeeze(0).numpy()
+
+    ours = np.asarray(S.istft_ri(jnp.asarray(ref_spec), n_fft=N_FFT, hop_length=HOP))
+    assert ours.shape == ref_wav.shape
+    np.testing.assert_allclose(ours, ref_wav, atol=2e-4, rtol=1e-4)
+
+
+def test_roundtrip_reconstruction(audio_clip):
+    """stft -> istft must reproduce the interior of the signal to ~fp32."""
+    spec = S.stft_ri(jnp.asarray(audio_clip), n_fft=N_FFT, hop_length=HOP)
+    wav = np.asarray(S.istft_ri(spec, n_fft=N_FFT, hop_length=HOP))
+    n = len(wav)
+    np.testing.assert_allclose(wav[HOP:n - HOP], audio_clip[HOP:n - HOP], atol=1e-4)
+
+
+def test_istft_length_arg(audio_clip):
+    spec = S.stft_ri(jnp.asarray(audio_clip), n_fft=N_FFT, hop_length=HOP)
+    wav = S.istft_ri(spec, n_fft=N_FFT, hop_length=HOP, length=len(audio_clip))
+    assert wav.shape[-1] == len(audio_clip)
+
+
+def test_batched_stft(audio_clip):
+    batch = jnp.stack([jnp.asarray(audio_clip), jnp.asarray(audio_clip[::-1].copy())])
+    spec = S.stft(batch, n_fft=N_FFT, hop_length=HOP)
+    assert spec.shape == (2, 1 + len(audio_clip) // HOP, 513)
+    single = S.stft(jnp.asarray(audio_clip), n_fft=N_FFT, hop_length=HOP)
+    np.testing.assert_allclose(np.asarray(spec[0]), np.asarray(single), atol=1e-5)
