@@ -1,0 +1,196 @@
+"""Model tests: component-level torch parity (adaptive pool, attention layer,
+conv transpose) + forward shape/NaN checks mirroring the reference's
+test_correctness.ipynb cells 6-7, + KV-cache AR decode == full-prefix decode."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ast_tpu.config import ModelConfig
+from ast_tpu.models import (
+    ContentEncoder,
+    Decoder,
+    Discriminator,
+    StyleEncoder,
+    adaptive_avg_pool2d,
+    autoregressive_decode,
+    class_prototypes,
+)
+from ast_tpu.models.attention import TransformerEncoderLayer, causal_mask
+from ast_tpu.models.decoder import conv_transpose2d
+
+TINY = ModelConfig().tiny()
+
+
+# ---------- component parity vs torch ----------
+
+def test_adaptive_pool_matches_torch(rng):
+    x = rng.standard_normal((3, 5, 10, 4)).astype(np.float32)
+    ours = np.asarray(adaptive_avg_pool2d(jnp.asarray(x), (2, 5)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+    ref = torch.nn.AdaptiveAvgPool2d((2, 5))(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_chained_adaptive_pool_is_not_global_mean(rng):
+    """The reference chains (2,5) -> (1,1) pools (style_encoder.py:113-114);
+    for a 5-row input this differs from a global mean — we must match torch."""
+    x = rng.standard_normal((1, 5, 10, 1)).astype(np.float32)
+    ours = np.asarray(adaptive_avg_pool2d(adaptive_avg_pool2d(jnp.asarray(x), (2, 5)), (1, 1)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = torch.nn.AdaptiveAvgPool2d((1, 1))(
+        torch.nn.AdaptiveAvgPool2d((2, 5))(xt)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    assert abs(float(ours.ravel()[0]) - float(x.mean())) > 1e-6
+
+
+def test_encoder_layer_matches_torch(rng):
+    """Our post-norm encoder layer == torch.nn.TransformerEncoderLayer with
+    identical weights (dropout disabled)."""
+    d, h = 16, 4
+    layer = TransformerEncoderLayer(dim=d, num_heads=h, ff_hidden=4 * d, dropout=0.0)
+    x = rng.standard_normal((2, 5, d)).astype(np.float32)
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    tl = torch.nn.TransformerEncoderLayer(d, h, 4 * d, dropout=0.0, batch_first=True)
+    tl.eval()
+    p = variables["params"]
+    with torch.no_grad():
+        tl.self_attn.in_proj_weight.copy_(
+            torch.from_numpy(np.asarray(p["self_attn"]["in_proj_kernel"]).T))
+        tl.self_attn.in_proj_bias.copy_(
+            torch.from_numpy(np.asarray(p["self_attn"]["in_proj_bias"])))
+        tl.self_attn.out_proj.weight.copy_(
+            torch.from_numpy(np.asarray(p["self_attn"]["out_proj"]["kernel"]).T))
+        tl.self_attn.out_proj.bias.copy_(
+            torch.from_numpy(np.asarray(p["self_attn"]["out_proj"]["bias"])))
+        tl.linear1.weight.copy_(torch.from_numpy(np.asarray(p["ff"]["linear1"]["kernel"]).T))
+        tl.linear1.bias.copy_(torch.from_numpy(np.asarray(p["ff"]["linear1"]["bias"])))
+        tl.linear2.weight.copy_(torch.from_numpy(np.asarray(p["ff"]["linear2"]["kernel"]).T))
+        tl.linear2.bias.copy_(torch.from_numpy(np.asarray(p["ff"]["linear2"]["bias"])))
+        tl.norm1.weight.copy_(torch.from_numpy(np.asarray(p["norm1"]["scale"])))
+        tl.norm1.bias.copy_(torch.from_numpy(np.asarray(p["norm1"]["bias"])))
+        tl.norm2.weight.copy_(torch.from_numpy(np.asarray(p["norm2"]["scale"])))
+        tl.norm2.bias.copy_(torch.from_numpy(np.asarray(p["norm2"]["bias"])))
+        ref = tl(torch.from_numpy(x)).numpy()
+
+    ours = np.asarray(layer.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_conv_transpose_matches_torch(rng):
+    x = rng.standard_normal((2, 7, 9, 3)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 5, 3)).astype(np.float32)  # (kh,kw,out,in)
+    ours = np.asarray(conv_transpose2d(jnp.asarray(x), jnp.asarray(w),
+                                       stride=2, padding=1, output_padding=1))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    wt = torch.from_numpy(w).permute(3, 2, 0, 1)  # (in, out, kh, kw)
+    ref = torch.nn.functional.conv_transpose2d(
+        xt, wt, stride=2, padding=1, output_padding=1).permute(0, 2, 3, 1).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+# ---------- forward shape / NaN checks (test_correctness.ipynb cells 6-7) ----------
+
+@pytest.fixture(scope="module")
+def tiny_batch():
+    rng = np.random.default_rng(1)
+    B, S = 4, 3
+    x = rng.standard_normal(
+        (B, S, 2, TINY.window_size, TINY.feat_bins)).astype(np.float32)
+    labels = np.array([0, 0, 1, 1])
+    return jnp.asarray(x), jnp.asarray(labels)
+
+
+def test_style_encoder_forward(tiny_batch):
+    x, labels = tiny_batch
+    model = StyleEncoder(TINY)
+    variables = model.init(jax.random.PRNGKey(0), x, labels)
+    style_emb, class_emb = model.apply(variables, x, labels)
+    assert style_emb.shape == (4, TINY.d_model)
+    assert class_emb.shape == (2, TINY.d_model)
+    assert np.isfinite(np.asarray(style_emb)).all()
+    assert np.isfinite(np.asarray(class_emb)).all()
+
+
+def test_class_prototypes_order():
+    emb = jnp.asarray(np.arange(8, dtype=np.float32).reshape(4, 2))
+    labels = jnp.asarray([1, 0, 1, 0])
+    proto = np.asarray(class_prototypes(emb, labels, 2))
+    np.testing.assert_allclose(proto[0], emb[jnp.asarray([1, 3])].mean(0))
+    np.testing.assert_allclose(proto[1], emb[jnp.asarray([0, 2])].mean(0))
+
+
+def test_content_encoder_forward(tiny_batch):
+    x, _ = tiny_batch
+    model = ContentEncoder(TINY)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (4, 3, TINY.d_model)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_discriminator_forward():
+    model = Discriminator(TINY)
+    emb = jnp.ones((4, TINY.d_model))
+    variables = model.init(jax.random.PRNGKey(0), emb)
+    out = model.apply(variables, emb)
+    assert out.shape == (4, 2)
+
+
+@pytest.mark.parametrize("codec", ["linear", "conv"])
+def test_decoder_teacher_forced(codec):
+    rng = np.random.default_rng(2)
+    B, S = 2, 3
+    cfg = TINY
+    content = jnp.asarray(rng.standard_normal((B, S, cfg.d_model)).astype(np.float32))
+    class_emb = jnp.asarray(rng.standard_normal((B, cfg.d_model)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(
+        (B, S, 2, cfg.window_size, cfg.stft_bins)).astype(np.float32))
+    model = Decoder(cfg, codec=codec)
+    variables = model.init(jax.random.PRNGKey(0), content, class_emb, y)
+    out = model.apply(variables, content, class_emb, y)
+    assert out.shape == (B, S, 2, cfg.window_size, cfg.stft_bins)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kv_cache_decode_matches_full_prefix():
+    """The lax.scan KV-cache decode must equal the reference's full-prefix
+    re-run loop (restated here in jnp) exactly."""
+    rng = np.random.default_rng(3)
+    B, S = 2, 4
+    cfg = TINY
+    content = jnp.asarray(rng.standard_normal((B, S, cfg.d_model)).astype(np.float32))
+    class_emb = jnp.asarray(rng.standard_normal((B, cfg.d_model)).astype(np.float32))
+    y_dummy = jnp.asarray(rng.standard_normal(
+        (B, S, 2, cfg.window_size, cfg.stft_bins)).astype(np.float32))
+    model = Decoder(cfg, codec="linear")
+    variables = model.init(jax.random.PRNGKey(0), content, class_emb, y_dummy)
+
+    fast = np.asarray(autoregressive_decode(model, variables, content, class_emb, S))
+
+    # reference-style loop: re-run the full core on the growing prefix
+    from ast_tpu.models.blocks import sinusoidal_position_encoding
+
+    memory = model.apply(variables, content, class_emb, False,
+                         method=Decoder.prepare_memory)
+    pe = sinusoidal_position_encoding(cfg.max_len, cfg.d_model)
+    start = model.apply(variables, B, method=Decoder.start_tokens)
+    generated = start
+    outs = []
+    for t in range(S):
+        cur = generated + jnp.asarray(pe[None, : generated.shape[1]])
+        dec = model.apply(
+            variables, cur, memory, causal_mask(generated.shape[1]), True,
+            method=lambda m, tgt, mem, msk, det: m.core(tgt, mem, msk, deterministic=det))
+        nxt = dec[:, -1:, :]
+        outs.append(nxt)
+        generated = jnp.concatenate([generated, nxt], axis=1)
+    dec_out = jnp.concatenate(outs, axis=1)
+    slow = np.asarray(model.apply(variables, dec_out, False,
+                                  method=Decoder.generate_output))
+    np.testing.assert_allclose(fast, slow, atol=2e-4, rtol=1e-3)
