@@ -1,0 +1,77 @@
+"""Style/content disentanglement losses: HSIC and cross-covariance.
+
+Capability-parity rebuild of the reference disentanglement_loss
+(reference: losses.py:138-191). Two details worth noting:
+
+* The reference's median heuristic indexes the (2B, 2B) distance matrix with
+  the *stacked* triu_indices tensor (losses.py:170), which in torch gathers
+  whole ROWS — each row ends up repeated exactly (2B-1) times, so the
+  "off-diagonal median" is actually the median over the FULL distance matrix
+  including its 2B diagonal zeros. `median_mode="reference"` reproduces that
+  observed behavior; `median_mode="offdiag"` is the textbook heuristic.
+* sigma comes from *uncentered* embeddings while the kernels use *centered*
+  ones (losses.py:166-180) — reproduced as-is.
+
+Everything is static-shape and jit-friendly (jnp.median on fixed-size
+matrices); O(B^2 d + B^3) like the reference."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sq_dists(x: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.sum(x * x, axis=1)
+    d2 = n[:, None] + n[None, :] - 2.0 * (x @ x.T)
+    return jnp.maximum(d2, 0.0)
+
+
+def hsic_loss(style_emb: jnp.ndarray, content_emb: jnp.ndarray,
+              median_mode: str = "reference") -> jnp.ndarray:
+    B, d = style_emb.shape
+    S = style_emb - style_emb.mean(axis=0, keepdims=True)
+    C = content_emb - content_emb.mean(axis=0, keepdims=True)
+
+    X = jnp.concatenate([style_emb, content_emb], axis=0)  # (2B, d) uncentered
+    dist = jnp.sqrt(_pairwise_sq_dists(X) + 1e-24)
+    if median_mode == "reference":
+        # full matrix incl. diagonal (see module doc); torch.median returns
+        # the LOWER of the two middle elements, not their average
+        flat = jnp.sort(dist.reshape(-1))
+        sigma = flat[(flat.shape[0] - 1) // 2]
+    elif median_mode == "offdiag":
+        n = dist.shape[0]
+        iu = jnp.triu_indices(n, k=1)
+        sigma = jnp.median(dist[iu])
+    else:
+        raise ValueError(f"unknown median_mode {median_mode!r}")
+    sigma = jnp.maximum(sigma, 1e-6)
+
+    def rbf(Z):
+        return jnp.exp(-_pairwise_sq_dists(Z) / (2.0 * sigma ** 2))
+
+    K = rbf(S)
+    L = rbf(C)
+    H = jnp.eye(B) - jnp.full((B, B), 1.0 / B)
+    KH = K @ H
+    LH = L @ H
+    return jnp.trace(KH @ LH) / ((B - 1) ** 2)
+
+
+def cross_covariance_loss(style_emb: jnp.ndarray, content_emb: jnp.ndarray) -> jnp.ndarray:
+    """Frobenius norm of the style/content cross-covariance
+    (losses.py:158-162)."""
+    B = style_emb.shape[0]
+    S = style_emb - style_emb.mean(axis=0, keepdims=True)
+    C = content_emb - content_emb.mean(axis=0, keepdims=True)
+    cov = (S.T @ C) / (B - 1)
+    return jnp.sum(cov ** 2)
+
+
+def disentanglement_loss(style_emb: jnp.ndarray, content_emb: jnp.ndarray,
+                         use_hsic: bool = True,
+                         median_mode: str = "reference") -> jnp.ndarray:
+    if use_hsic:
+        return hsic_loss(style_emb, content_emb, median_mode=median_mode)
+    return cross_covariance_loss(style_emb, content_emb)
