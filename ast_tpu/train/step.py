@@ -1,0 +1,180 @@
+"""The jitted training step: generator phase + discriminator phase.
+
+Reconstruction of the reference's (missing) train2.ipynb recipe from
+README.md:144-150, the bundled paper §3.5/Appendix, and losses.py — see
+SURVEY.md §3.2. GAN alternation is expressed TPU-style: ONE compiled step
+computes both phases, using stop_gradient for the isolation the reference got
+from separate backward passes:
+
+* generator phase: grads w.r.t. {content, style, decoder} params; the
+  discriminator is applied through a frozen (stop_gradient) closure. Includes
+  the paper-§3.3 "helper" terms (style/class CE through the frozen
+  discriminator) plus the content-entropy fooling term (losses.py:116-121).
+* discriminator phase: grads w.r.t. discriminator params on stop_gradient'ed
+  embeddings — equivalent to torch .detach().
+
+Curriculum weights enter as traced scalars so one XLA program serves all four
+phases (README.md:146-149)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ast_tpu.config import Config
+from ast_tpu.losses import (
+    compute_comprehensive_loss,
+    cross_entropy,
+    disentanglement_loss,
+    infonce_loss,
+    margin_loss,
+)
+from ast_tpu.train.state import Models, TrainState, make_optimizers
+
+
+def make_train_step(cfg: Config, models: Models):
+    """Build the jitted train step: (state, x, labels, curriculum) -> (state, metrics).
+
+    x: (B, S, 2, window, feat_bins) balanced batch (first half piano,
+    second half violin, dataloader.py:123-147); labels: (B,).
+    curriculum: dict of scalars {contrastive, hsic, adversarial}."""
+    lw = cfg.loss
+    stft_bins = cfg.model.stft_bins
+    gen_tx, disc_tx = make_optimizers(cfg)
+
+    def apply_generator(gen_params, state: TrainState, x, labels, rng):
+        """Run encoders + teacher-forced decoder, returning losses' inputs and
+        updated batch_stats/spectral collections."""
+        r_c, r_s, r_d = jax.random.split(rng, 3)
+        content_vars = {**state.content, "params": gen_params["content"]}
+        style_vars = {**state.style, "params": gen_params["style"]}
+        decoder_vars = {**state.decoder, "params": gen_params["decoder"]}
+
+        (style_emb, class_emb), style_mut = models.style.apply(
+            style_vars, x, labels, True,
+            mutable=["batch_stats", "spectral"], rngs={"dropout": r_s})
+        content_emb, content_mut = models.content.apply(
+            content_vars, x, True,
+            mutable=["batch_stats", "spectral"], rngs={"dropout": r_c})
+
+        # teacher-forced reconstruction of the STFT slice of the input
+        # (the decoder regenerates only the 513 STFT bins,
+        # SimpleDecoder_TransformerOnly.py:13,59)
+        y = x[..., :stft_bins]
+        y_pred, dec_mut = models.decoder.apply(
+            decoder_vars, content_emb, class_emb[labels], y, None, True,
+            mutable=["batch_stats", "spectral"], rngs={"dropout": r_d})
+
+        muts = (style_mut, content_mut, dec_mut)
+        return style_emb, class_emb, content_emb, y, y_pred, muts
+
+    def gen_loss_fn(gen_params, state: TrainState, x, labels, curriculum, rng):
+        style_emb, class_emb, content_emb, y, y_pred, muts = apply_generator(
+            gen_params, state, x, labels, rng)
+
+        recon = compute_comprehensive_loss(y_pred, y, lw)
+        nce = infonce_loss(style_emb, labels, lw.infonce_temperature)
+        marg = margin_loss(class_emb, lw.margin_value)
+        hsic = disentanglement_loss(style_emb, content_emb.mean(axis=1))
+
+        # frozen discriminator for the generator phase
+        disc_params = jax.tree.map(jax.lax.stop_gradient, state.disc["params"])
+
+        def discriminate(e):
+            return models.disc.apply({**state.disc, "params": disc_params}, e)
+
+        content_pred = discriminate(content_emb.mean(axis=1))
+        content_probs = jax.nn.softmax(content_pred, axis=-1)
+        content_entropy = -jnp.sum(
+            content_probs * jnp.log(content_probs + 1e-8), axis=-1).mean()
+        # fool on content (maximize entropy), help on style/class (paper §3.3)
+        adv_gen = (
+            -lw.adv_content * content_entropy
+            + lw.adv_style * cross_entropy(discriminate(style_emb), labels)
+            + lw.adv_class * cross_entropy(
+                discriminate(class_emb), jnp.arange(class_emb.shape[0]))
+        )
+
+        total = (
+            recon["total_loss"]
+            + curriculum["contrastive"] * (lw.infonce * nce + lw.margin * marg)
+            + curriculum["hsic"] * lw.hsic * hsic
+            + curriculum["adversarial"] * adv_gen
+        )
+        metrics = {
+            "loss/total": total,
+            "loss/recon": recon["total_loss"],
+            "loss/mse": recon["mse_loss"],
+            "loss/infonce": nce,
+            "loss/margin": marg,
+            "loss/hsic": hsic,
+            "loss/adv_gen": adv_gen,
+        }
+        aux = (metrics, muts, (style_emb, class_emb, content_emb))
+        return total, aux
+
+    def disc_loss_fn(disc_params, state: TrainState, embs, labels):
+        style_emb, class_emb, content_emb = jax.tree.map(
+            jax.lax.stop_gradient, embs)
+        disc_vars = {**state.disc, "params": disc_params}
+
+        def discriminate(e):
+            return models.disc.apply(disc_vars, e)
+
+        loss = (
+            lw.adv_style * cross_entropy(discriminate(style_emb), labels)
+            + lw.adv_content * cross_entropy(
+                discriminate(content_emb.mean(axis=1)), labels)
+            + lw.adv_class * cross_entropy(
+                discriminate(class_emb), jnp.arange(class_emb.shape[0]))
+        )
+        return loss, {"loss/disc": loss}
+
+    def train_step(state: TrainState, x, labels, curriculum: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng, step_rng = jax.random.split(state.rng)
+
+        gen_params = {
+            "content": state.content["params"],
+            "style": state.style["params"],
+            "decoder": state.decoder["params"],
+        }
+        (_, (metrics, muts, embs)), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(gen_params, state, x, labels, curriculum,
+                                       step_rng)
+        updates, gen_opt_state = gen_tx.update(gen_grads, state.gen_opt_state,
+                                               gen_params)
+        gen_params = jax.tree.map(lambda p, u: p + u, gen_params, updates)
+
+        (_, disc_metrics), disc_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(state.disc["params"], state, embs, labels)
+        d_updates, disc_opt_state = disc_tx.update(
+            disc_grads, state.disc_opt_state, state.disc["params"])
+        disc_params = jax.tree.map(lambda p, u: p + u,
+                                   state.disc["params"], d_updates)
+
+        style_mut, content_mut, dec_mut = muts
+        new_state = state.replace(
+            step=state.step + 1,
+            content={**state.content, **content_mut, "params": gen_params["content"]},
+            style={**state.style, **style_mut, "params": gen_params["style"]},
+            decoder={**state.decoder, **dec_mut, "params": gen_params["decoder"]},
+            disc={**state.disc, "params": disc_params},
+            gen_opt_state=gen_opt_state,
+            disc_opt_state=disc_opt_state,
+            rng=rng,
+        )
+        metrics.update(disc_metrics)
+        metrics["grad_norm/gen"] = jnp.sqrt(
+            sum(jnp.sum(g ** 2) for g in jax.tree.leaves(gen_grads)))
+        return new_state, metrics
+
+    return jax.jit(train_step)
+
+
+def curriculum_scalars(cfg: Config, epoch: int) -> Dict[str, jnp.ndarray]:
+    w = cfg.curriculum.weights_at(epoch)
+    return {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}
