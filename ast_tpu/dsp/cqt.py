@@ -79,8 +79,10 @@ def cqt_kernel(
 
     fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
     fft_basis *= lengths[:, None] / n_fft
+    # cache numpy (NOT jnp: a jnp value created during a jit trace would leak
+    # a tracer into the cache); call sites convert with jnp.asarray
     return (
-        jnp.asarray(fft_basis.astype(np.complex64)),
+        fft_basis.astype(np.complex64),
         np.asarray(lengths, dtype=np.float32),
         n_fft,
     )
@@ -103,7 +105,7 @@ def cqt(
     fft_basis, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin, filter_scale)
     frames = frame_signal(x, n_fft, hop_length, center=True)  # (..., T, n_fft)
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (..., T, n_fft//2+1)
-    out = spec @ fft_basis.T  # (..., T, n_bins)
+    out = spec @ jnp.asarray(fft_basis).T  # (..., T, n_bins)
     if scale:
         out = out / jnp.sqrt(jnp.asarray(lengths))
     return out
@@ -137,7 +139,8 @@ def icqt(
     uses it on the main path; this inverse reconstructs by transposed-filter
     overlap-add with a diagonal frame-energy normalization — adequate for the
     same diagnostic role."""
-    fft_basis, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin, filter_scale)
+    fft_basis_np, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin, filter_scale)
+    fft_basis = jnp.asarray(fft_basis_np)
     lengths_j = jnp.asarray(lengths)
     # undo forward scaling: forward C_k = (len_k/n_fft) * <raw_basis_k, X>,
     # then /= sqrt(len_k) when scale=True

@@ -16,10 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from ast_tpu.config import AudioConfig
-from ast_tpu.dsp import cqt as cqt_mod
-from ast_tpu.dsp import stft as stft_mod
-from ast_tpu.dsp import windows as win_mod
+from ast_tpu.dsp.cqt import cqt_ri
 from ast_tpu.dsp.norm import normalize
+from ast_tpu.dsp.stft import stft_ri
+from ast_tpu.dsp.windows import concat_stft_cqt, get_overlap_windows
 
 _DEF = AudioConfig()
 
@@ -37,13 +37,13 @@ def extract_features(
 
     Equivalent of the reference's dataloader.__getitem__ feature path for one
     instrument (dataloader.py:101-114)."""
-    s = stft_mod.stft_ri(waveform, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
-    c = cqt_mod.cqt_ri(waveform, sr=cfg.sample_rate, n_bins=cfg.cqt_bins,
-                       hop_length=cfg.hop_length)
+    s = stft_ri(waveform, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+    c = cqt_ri(waveform, sr=cfg.sample_rate, n_bins=cfg.cqt_bins,
+               hop_length=cfg.hop_length)
     s = normalize(s, stft_mean, stft_std)
     c = normalize(c, cqt_mean, cqt_std)
-    feats = win_mod.concat_stft_cqt(s, c)
-    return win_mod.get_overlap_windows(
+    feats = concat_stft_cqt(s, c)
+    return get_overlap_windows(
         feats,
         window_size=cfg.window_size,
         overlap_frames=cfg.overlap_frames if overlap_frames is None else overlap_frames,

@@ -36,7 +36,8 @@ def _polyphase_filter(orig_freq: int, new_freq: int, lowpass_filter_width: int =
     scale = base_freq / up
     kernel = np.where(t == 0, 1.0, np.sin(t * np.pi) / np.where(t == 0, 1.0, t * np.pi))
     kernel *= window * scale
-    return jnp.asarray(kernel, dtype=jnp.float32), up, down, width
+    # cache numpy (jnp under a jit trace would leak a tracer into the cache)
+    return kernel.astype(np.float32), up, down, width
 
 
 def resample(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
@@ -54,7 +55,7 @@ def resample(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
     pad = width // 1
     xf = jnp.pad(xf, ((0, 0), (0, 0), (pad, pad + up)))
     # conv with stride=down for each phase
-    k = kernel[:, None, :]  # (up, 1, taps)
+    k = jnp.asarray(kernel)[:, None, :]  # (up, 1, taps)
     import jax.lax as lax
 
     out = lax.conv_general_dilated(

@@ -22,11 +22,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def hann_window_np(n: int) -> np.ndarray:
+    """Periodic Hann window as numpy (trace-time constant)."""
+    k = np.arange(n)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))
+
+
 def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
     """Periodic Hann window, identical to torch.hann_window(n)."""
-    k = np.arange(n)
-    w = 0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))
-    return jnp.asarray(w, dtype=dtype)
+    return jnp.asarray(hann_window_np(n), dtype=dtype)
 
 
 def _frame_indices(n_samples_padded: int, n_fft: int, hop: int) -> np.ndarray:
@@ -79,7 +83,7 @@ def stft_ri(
 @functools.lru_cache(maxsize=8)
 def _ola_envelope(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
     """Sum of squared windows at each output sample (torch.istft denominator)."""
-    w = np.asarray(hann_window(n_fft)) ** 2
+    w = hann_window_np(n_fft) ** 2
     total = n_fft + hop * (n_frames - 1)
     env = np.zeros(total, dtype=np.float64)
     for t in range(n_frames):

@@ -1,0 +1,142 @@
+"""End-to-end style-transfer inference: waveform in, waveform out.
+
+TPU-native rebuild of the reference's north-star path
+(reference: evaluation_style_transfer.py:135-159 `process_audio`): the whole
+chain STFT -> CQT -> concat -> windows -> ContentEncoder -> prototype ->
+autoregressive decode -> overlap-average -> ISTFT compiles into ONE XLA
+program per clip-length bucket and never leaves the device. The reference
+instead hops host->device->host twice (librosa CQT on CPU, final istft on
+CPU) and re-runs its decoder O(S^2).
+
+Faithful reference behaviors preserved:
+  * inference features are NOT normalized with the training stats
+    (process_audio applies no stats — quirk documented in SURVEY.md)
+  * eval-side overlap is int(287*0.3)=86, not the training-side 96
+    (evaluation_style_transfer.py:27)
+  * conditioning uses the target-class prototype only (quirk #5)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ast_tpu.config import Config, DEFAULT_CONFIG
+from ast_tpu.dsp.cqt import cqt_ri
+from ast_tpu.dsp.stft import istft_ri, stft_ri
+from ast_tpu.dsp.windows import concat_stft_cqt, get_overlap_windows, sections2spectrogram
+from ast_tpu.models import ContentEncoder, Decoder, StyleEncoder, autoregressive_decode
+
+ID_TO_NAME = {0: "piano", 1: "violin"}
+NAME_TO_ID = {"piano": 0, "violin": 1}
+
+
+@dataclasses.dataclass
+class StyleTransferPipeline:
+    """Bundles the modules + trained variables + class prototypes."""
+
+    cfg: Config
+    content: ContentEncoder
+    decoder: Decoder
+    content_vars: Dict
+    decoder_vars: Dict
+    class_embeddings: jnp.ndarray  # (num_classes, d)
+
+    @classmethod
+    def from_variables(cls, cfg: Config, content_vars, decoder_vars,
+                       class_embeddings, codec: str = "linear"):
+        return cls(
+            cfg=cfg,
+            content=ContentEncoder(cfg.model),
+            decoder=Decoder(cfg.model, codec=codec),
+            content_vars=content_vars,
+            decoder_vars=decoder_vars,
+            class_embeddings=jnp.asarray(class_embeddings),
+        )
+
+    @classmethod
+    def init_random(cls, cfg: Config = DEFAULT_CONFIG, seed: int = 0,
+                    codec: str = "linear", sections: int = 5):
+        """Random-weight pipeline — mirrors the reference eval's fallback to
+        random init when checkpoints are absent
+        (evaluation_reconstruction.py:264-278)."""
+        m = cfg.model
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        content = ContentEncoder(m)
+        decoder = Decoder(m, codec=codec)
+        x = jnp.zeros((1, sections, 2, m.window_size, m.feat_bins), m.jnp_dtype)
+        seq = jnp.zeros((1, sections, m.d_model), m.jnp_dtype)
+        emb = jnp.zeros((1, m.d_model), m.jnp_dtype)
+        y = jnp.zeros((1, sections, 2, m.window_size, m.stft_bins), m.jnp_dtype)
+        content_vars = content.init(k1, x)
+        decoder_vars = decoder.init(k2, seq, emb, y)
+        class_embeddings = jax.random.normal(jax.random.PRNGKey(seed + 1),
+                                             (m.num_classes, m.d_model))
+        return cls(cfg, content, decoder, content_vars, decoder_vars,
+                   class_embeddings)
+
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _jitted_core(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("n_samples", "overlap"))
+        def core(waveform, class_embeddings, target_class_id, content_vars,
+                 decoder_vars, n_samples: int, overlap: int):
+            a = cfg.audio
+            s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length)
+            c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
+                       hop_length=a.hop_length)
+            feats = concat_stft_cqt(s, c)  # (2, T, 597), unnormalized
+            sections = get_overlap_windows(
+                feats, window_size=a.window_size, overlap_frames=overlap)
+            S = sections.shape[0]
+
+            content_emb = self.content.apply(content_vars, sections[None])
+            class_emb = class_embeddings[target_class_id][None]  # (1, d)
+            out = autoregressive_decode(self.decoder, decoder_vars,
+                                        content_emb, class_emb, S)  # (1,S,2,W,513)
+
+            T = feats.shape[1]
+            full = sections2spectrogram(out[0], T, overlap)
+            return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
+
+        return core
+
+    def process_audio(self, waveform, target_class_id: int,
+                      overlap: Optional[int] = None) -> np.ndarray:
+        """The reference process_audio equivalent: one fused on-device call."""
+        overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
+        wav = jnp.asarray(np.asarray(waveform, np.float32).reshape(-1))
+        out = self._jitted_core(
+            wav, self.class_embeddings, jnp.asarray(target_class_id),
+            self.content_vars, self.decoder_vars,
+            n_samples=int(wav.shape[0]), overlap=int(overlap))
+        return np.asarray(out)
+
+    def transfer(self, waveform, target: str) -> np.ndarray:
+        """transfer(waveform, 'violin'|'piano') -> waveform."""
+        return self.process_audio(waveform, NAME_TO_ID[target])
+
+
+def generate_class_embeddings(
+    cfg: Config,
+    style_vars: Dict,
+    piano_sections: jnp.ndarray,
+    violin_sections: jnp.ndarray,
+) -> jnp.ndarray:
+    """Bootstrap class prototypes from one sample per class, as the reference
+    does from its first test batch (evaluation_style_transfer.py:39-75 —
+    prototypes are not checkpointed, quirk #5). Returns (2, d)."""
+    style = StyleEncoder(cfg.model)
+    _, piano_emb = style.apply(style_vars, piano_sections[None],
+                               jnp.asarray([0]))
+    _, violin_emb = style.apply(style_vars, violin_sections[None],
+                                jnp.asarray([1]))
+    return jnp.stack([piano_emb[0], violin_emb[1]], axis=0)

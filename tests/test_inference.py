@@ -1,0 +1,64 @@
+"""End-to-end transfer pipeline test on a scaled-down config: the full chain
+(waveform -> STFT+CQT -> windows -> content encoder -> AR decode -> OLA ->
+ISTFT -> waveform) in one jitted call, mirroring the reference process_audio
+(evaluation_style_transfer.py:135-159)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ast_tpu.config import AudioConfig, Config, ModelConfig
+from ast_tpu.eval import StyleTransferPipeline, generate_class_embeddings
+
+TINY_AUDIO = AudioConfig(
+    sample_rate=4000, clip_seconds=0.5, n_fft=64, hop_length=64,
+    cqt_bins=12, cqt_fmin=200.0, window_size=16,
+    overlap_frames=5, eval_overlap_frames=5,
+)
+TINY_MODEL = dataclasses.replace(
+    ModelConfig().tiny(),
+    window_size=16,
+    stft_bins=TINY_AUDIO.stft_bins,   # 33
+    feat_bins=TINY_AUDIO.feat_bins,   # 45
+)
+TINY = Config(audio=TINY_AUDIO, model=TINY_MODEL)
+
+
+def test_end_to_end_transfer(audio_clip):
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    out = pipe.transfer(wav, "violin")
+    # istft default length = hop * (T - 1)
+    T = 1 + len(wav) // TINY_AUDIO.hop_length
+    assert out.shape == (TINY_AUDIO.hop_length * (T - 1),)
+    assert np.isfinite(out).all()
+    # different target class must give a different output
+    out2 = pipe.transfer(wav, "piano")
+    assert not np.allclose(out, out2)
+
+
+def test_transfer_is_deterministic(audio_clip):
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    a = pipe.transfer(wav, "violin")
+    b = pipe.transfer(wav, "violin")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_class_embeddings(rng):
+    import jax
+    from ast_tpu.models import StyleEncoder
+
+    m = TINY.model
+    S = 3
+    style = StyleEncoder(m)
+    x = jnp.asarray(rng.standard_normal(
+        (1, S, 2, m.window_size, m.feat_bins)).astype(np.float32))
+    svars = style.init(jax.random.PRNGKey(0), x, jnp.asarray([0]))
+    piano = x[0]
+    violin = jnp.asarray(rng.standard_normal(piano.shape).astype(np.float32))
+    ce = generate_class_embeddings(TINY, svars, piano, violin)
+    assert ce.shape == (2, m.d_model)
+    assert np.isfinite(np.asarray(ce)).all()
+    assert not np.allclose(np.asarray(ce[0]), np.asarray(ce[1]))
