@@ -1,0 +1,135 @@
+"""Host-side audio loading with the reference's load_audio semantics.
+
+Reference behavior (utilityFunctions.py:105-122): decode -> zero-pad/cut to
+`cut_time_seconds` at the ORIGINAL sample rate -> resample to target ->
+stereo->mono mean. The fast path is the framework's own C++ decoder +
+polyphase resampler (ast_tpu/runtime/audio_native.cpp, the TPU-native
+equivalent of the torchaudio/ffmpeg stack the reference leans on); the
+fallback is the stdlib `wave` module + the same-kernel numpy resampler, so
+both paths produce identical audio.
+
+Only RIFF/WAVE files decode here (no ffmpeg in this environment — mp3 inputs
+must be converted offline; ast_tpu.tools gates on this)."""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import math
+import os
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ast_tpu.dsp.resample import resample_np
+
+
+@functools.lru_cache(maxsize=1)
+def _native():
+    """Load (building if needed) the native library; None if unavailable."""
+    try:
+        from ast_tpu.runtime.build import build
+
+        lib = ctypes.CDLL(build())
+        lib.ast_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_long)]
+        lib.ast_wav_info.restype = ctypes.c_int
+        lib.ast_wav_read.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+        lib.ast_wav_read.restype = ctypes.c_long
+        lib.ast_load_audio.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                       ctypes.c_double,
+                                       ctypes.POINTER(ctypes.c_float),
+                                       ctypes.c_long]
+        lib.ast_load_audio.restype = ctypes.c_long
+        return lib
+    except Exception:
+        return None
+
+
+def wav_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, frames)."""
+    lib = _native()
+    if lib is not None:
+        sr, ch, n = ctypes.c_int(), ctypes.c_int(), ctypes.c_long()
+        if lib.ast_wav_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                            ctypes.byref(n)) == 0:
+            return sr.value, ch.value, n.value
+    with wave.open(path, "rb") as w:
+        return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a wav file -> ((channels, samples) float32 in [-1,1], sr)."""
+    lib = _native()
+    if lib is not None:
+        sr, ch, n = wav_info(path)
+        buf = np.zeros(n * ch, np.float32)
+        got = lib.ast_wav_read(path.encode(),
+                               buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+        if got >= 0:
+            return buf[: got * ch].reshape(got, ch).T.copy(), sr
+
+    with wave.open(path, "rb") as w:
+        sr, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+        raw = w.readframes(n)
+        bits = w.getsampwidth() * 8
+    if bits == 16:
+        data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif bits == 32:
+        data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif bits == 8:
+        data = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+    elif bits == 24:
+        b = np.frombuffer(raw, "u1").reshape(-1, 3)
+        v = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        data = v.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported wav bit depth {bits} in {path}")
+    return data.reshape(-1, ch).T.copy(), sr
+
+
+def load_audio(path: str, sample_rate: int = 22050,
+               cut_time_seconds: float = 10.0,
+               use_native: bool = True) -> Tuple[np.ndarray, int]:
+    """Reference load_audio (utilityFunctions.py:105-122): returns
+    ((1, samples) float32, sample_rate)."""
+    lib = _native() if use_native else None
+    if lib is not None:
+        sr_orig, _, _ = wav_info(path)
+        max_out = int(math.ceil(cut_time_seconds * max(sr_orig, sample_rate))) + 16
+        buf = np.zeros(max_out, np.float32)
+        got = lib.ast_load_audio(
+            path.encode(), sample_rate, float(cut_time_seconds),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_out)
+        if got >= 0:
+            return buf[:got][None, :].copy(), sample_rate
+
+    wav, sr = read_wav(path)
+    cut = int(cut_time_seconds * sr)
+    if wav.shape[1] < cut:
+        wav = np.pad(wav, ((0, 0), (0, cut - wav.shape[1])))
+    wav = wav[:, :cut]
+    if sr != sample_rate:
+        wav = np.stack([resample_np(c, sr, sample_rate) for c in wav])
+    if wav.shape[0] >= 2:
+        wav = wav.mean(axis=0, keepdims=True)
+    return wav.astype(np.float32), sample_rate
+
+
+def write_wav(path: str, data: np.ndarray, sample_rate: int = 22050) -> None:
+    """Write mono/stereo float32 [-1,1] as 16-bit PCM (the .wav export role
+    soundfile plays in the reference's inference notebook)."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    pcm = np.clip(np.round(data.T * 32768.0), -32768, 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(data.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())

@@ -72,17 +72,21 @@ def load_instrument_stats(
     stats_dir: Optional[str],
     use_separate_stats: bool = True,
     unified_path: Optional[str] = None,
+    stft_bins: int = 513,
+    cqt_bins: int = 84,
     warn=print,
 ) -> dict:
     """Load {0: piano stats, 1: violin stats} with the reference's fallback
     chain (dataloader.py:41-89): separate npz files -> unified npz -> dummy."""
+    dummy = lambda: {0: FeatureStats.identity(stft_bins, cqt_bins),
+                     1: FeatureStats.identity(stft_bins, cqt_bins)}
     if use_separate_stats and stats_dir is not None:
         piano_p = os.path.join(stats_dir, "stats_stft_cqt_piano.npz")
         violin_p = os.path.join(stats_dir, "stats_stft_cqt_violin.npz")
         if os.path.exists(piano_p) and os.path.exists(violin_p):
             return {0: FeatureStats.from_npz(piano_p), 1: FeatureStats.from_npz(violin_p)}
         warn(f"Warning: separate stats not found under {stats_dir}; using dummy normalization.")
-        return {0: FeatureStats.identity(), 1: FeatureStats.identity()}
+        return dummy()
 
     path = unified_path
     if path is None and stats_dir is not None:
@@ -91,4 +95,4 @@ def load_instrument_stats(
         s = FeatureStats.from_npz(path)
         return {0: s, 1: s}
     warn(f"Warning: combined stats file {path} not found; using dummy normalization.")
-    return {0: FeatureStats.identity(), 1: FeatureStats.identity()}
+    return dummy()

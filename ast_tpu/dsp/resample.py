@@ -1,10 +1,17 @@
 """Polyphase windowed-sinc resampling.
 
 TPU-native replacement for `torchaudio.functional.resample` used by the
-reference's audio loader (reference: utilityFunctions.py:116-117). Same
-algorithm family (Kaiser-free hann-windowed sinc lowpass, polyphase
-decimation/interpolation), implemented as a single strided conv so it jits and
-runs on device; a numpy path is provided for host-side preprocessing tools.
+reference's audio loader (reference: utilityFunctions.py:116-117). Implements
+the same kernel construction (hann^2-windowed sinc, lowpass_filter_width=6,
+rolloff=0.99) so resampled audio matches the reference's to filter precision:
+after gcd reduction to (up, down),
+
+    kernel[p, i] = sinc(t) * cos(t*pi/(2*W))^2 * base/down,
+    t = clamp(((i - width)/down - p/up) * base, -W, W),
+    base = min(up, down) * rolloff,  width = ceil(W * down / base),
+
+applied as a strided conv (stride=down) on the width-padded signal, phases
+interleaved. Jittable on device; a scipy-based numpy path serves host tools.
 """
 
 from __future__ import annotations
@@ -12,58 +19,54 @@ from __future__ import annotations
 import functools
 import math
 
+import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
+LOWPASS_WIDTH = 6
+ROLLOFF = 0.99
+
 
 @functools.lru_cache(maxsize=16)
-def _polyphase_filter(orig_freq: int, new_freq: int, lowpass_filter_width: int = 6,
-                      rolloff: float = 0.99) -> tuple:
-    """Build the (gcd-reduced) polyphase filterbank.
-
-    Returns (kernel (L, width), up L, down M) where row p is the filter for
-    output phase p."""
-    g = math.gcd(orig_freq, new_freq)
-    up, down = new_freq // g, orig_freq // g
-    base_freq = min(orig_freq, new_freq) / g * rolloff  # cutoff in "per-up-sample" units
-
-    # windowed-sinc filter at the upsampled rate (orig*up)
-    width = int(lowpass_filter_width * up / base_freq) if base_freq > 0 else lowpass_filter_width
-    idx = np.arange(-width, width + up, dtype=np.float64)[None, :] / up  # in orig samples
-    t = (-idx + np.arange(up, dtype=np.float64)[:, None] / up) * base_freq / 1.0
-    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
-    window = np.cos(t * np.pi / lowpass_filter_width / 2) ** 2
-    scale = base_freq / up
-    kernel = np.where(t == 0, 1.0, np.sin(t * np.pi) / np.where(t == 0, 1.0, t * np.pi))
-    kernel *= window * scale
+def _kernel(up: int, down: int) -> tuple:
+    """Polyphase kernel (up, 2*width + down) and the pad width."""
+    base = min(up, down) * ROLLOFF
+    width = int(math.ceil(LOWPASS_WIDTH * down / base))
+    i = np.arange(-width, width + down, dtype=np.float64)  # taps, in down units
+    p = np.arange(up, dtype=np.float64)
+    t = (i[None, :] / down - p[:, None] / up) * base
+    t = np.clip(t, -LOWPASS_WIDTH, LOWPASS_WIDTH)
+    window = np.cos(t * np.pi / LOWPASS_WIDTH / 2.0) ** 2
+    sinc = np.where(t == 0, 1.0, np.sin(t * np.pi) / np.where(t == 0, 1.0, t * np.pi))
+    kernel = (sinc * window * (base / down)).astype(np.float32)
     # cache numpy (jnp under a jit trace would leak a tracer into the cache)
-    return kernel.astype(np.float32), up, down, width
+    return kernel, width
+
+
+def _reduce(orig_freq: int, new_freq: int) -> tuple:
+    g = math.gcd(int(orig_freq), int(new_freq))
+    return new_freq // g, orig_freq // g
 
 
 def resample(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
-    """Resample a (..., n) signal from orig_freq to new_freq.
-
-    Output length = ceil(n * new/orig), matching torchaudio."""
+    """Resample a (..., n) signal. Output length = ceil(n * new/orig)."""
     if orig_freq == new_freq:
         return x
-    kernel, up, down, width = _polyphase_filter(orig_freq, new_freq)
+    up, down = _reduce(orig_freq, new_freq)
+    kernel, width = _kernel(up, down)
     n = x.shape[-1]
-    target_len = int(math.ceil(new_freq * n / orig_freq))
+    target_len = int(math.ceil(n * up / down))
 
     lead = x.shape[:-1]
     xf = x.reshape((-1, 1, n))
-    pad = width // 1
-    xf = jnp.pad(xf, ((0, 0), (0, 0), (pad, pad + up)))
-    # conv with stride=down for each phase
-    k = jnp.asarray(kernel)[:, None, :]  # (up, 1, taps)
-    import jax.lax as lax
-
+    xf = jnp.pad(xf, ((0, 0), (0, 0), (width, width + down)))
+    k = jnp.asarray(kernel)[:, None, :]  # (up, 1, taps) -> OIH
     out = lax.conv_general_dilated(
-        xf, k[..., ::-1],
+        xf, k,
         window_strides=(down,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # (batch, up, frames)
+    )  # (batch, up, blocks)
     out = jnp.transpose(out, (0, 2, 1)).reshape(out.shape[0], -1)
     out = out[:, :target_len]
     if out.shape[1] < target_len:
@@ -72,10 +75,18 @@ def resample(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
 
 
 def resample_np(x: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
-    """Host-side resampling via scipy polyphase (for preprocessing tools)."""
+    """Host-side reference implementation (same kernel, plain numpy)."""
     if orig_freq == new_freq:
-        return x
-    from scipy.signal import resample_poly
-
-    g = math.gcd(orig_freq, new_freq)
-    return resample_poly(x, new_freq // g, orig_freq // g, axis=-1).astype(np.float32)
+        return np.asarray(x, np.float32)
+    up, down = _reduce(orig_freq, new_freq)
+    kernel, width = _kernel(up, down)
+    n = x.shape[-1]
+    target_len = int(math.ceil(n * up / down))
+    xp = np.pad(np.asarray(x, np.float64), (width, width + down))
+    taps = kernel.shape[1]
+    blocks = (len(xp) - taps) // down + 1
+    out = np.zeros((blocks, up), np.float64)
+    for b in range(blocks):
+        seg = xp[b * down : b * down + taps]
+        out[b] = kernel @ seg
+    return out.reshape(-1)[:target_len].astype(np.float32)
