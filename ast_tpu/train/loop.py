@@ -1,0 +1,85 @@
+"""Training driver: epochs over balanced batches with the 4-phase curriculum,
+periodic orbax checkpoints, metric logging.
+
+Reconstruction of the reference's missing train2.ipynb loop (README.md:144-150,
+paper §3.5/Appendix; see SURVEY.md §3.2): GAN-alternating step, curriculum
+recon -> +contrastive -> +HSIC -> +adversarial(ramped), checkpoint every N
+epochs. Additions the reference lacks: resume from checkpoint (incl. optimizer
+and RNG state), prefetched input pipeline, persisted class prototypes."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ast_tpu.config import Config
+from ast_tpu.data.pipeline import prefetch
+from ast_tpu.models.style_encoder import class_prototypes as proto_fn
+from ast_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from ast_tpu.train.state import Models, TrainState, init_state
+from ast_tpu.train.step import curriculum_scalars, make_train_step
+
+
+def train(
+    cfg: Config,
+    batch_iter_factory: Callable[[int], Iterable],
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
+    codec: str = "linear",
+    sections_per_clip: int = 4,
+    log: Callable[[str], None] = print,
+    start_epoch: int = 0,
+) -> TrainState:
+    """Run cfg.train.num_epochs epochs. `batch_iter_factory(epoch)` yields
+    (x (B,S,2,W,F), labels (B,)) balanced batches."""
+    models = Models.create(cfg, codec=codec)
+    state = init_state(cfg, models, jax.random.PRNGKey(cfg.train.seed),
+                       sections_per_clip=sections_per_clip)
+
+    if checkpoint_dir and resume:
+        path = latest_checkpoint(checkpoint_dir)
+        if path:
+            state, _ = load_checkpoint(path, state,
+                                       class_prototypes_shape=(2, cfg.model.d_model))
+            start_epoch = int(os.path.basename(path).rsplit("_", 1)[-1])
+            log(f"Resumed from {path} (epoch {start_epoch}, step {int(state.step)})")
+
+    step_fn = make_train_step(cfg, models)
+
+    last_protos = None
+    for epoch in range(start_epoch, cfg.train.num_epochs):
+        curr = curriculum_scalars(cfg, epoch)
+        t0 = time.perf_counter()
+        n_batches = 0
+        running = {}
+        for x, labels in prefetch(lambda e=epoch: iter(batch_iter_factory(e))):
+            state, metrics = step_fn(state, x, labels, curr)
+            n_batches += 1
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + float(v)
+        if n_batches == 0:
+            raise ValueError("batch_iter_factory produced no batches")
+
+        dt = time.perf_counter() - t0
+        avg = {k: v / n_batches for k, v in running.items()}
+        log(f"epoch {epoch + 1}/{cfg.train.num_epochs} "
+            f"loss={avg.get('loss/total', float('nan')):.4f} "
+            f"disc={avg.get('loss/disc', float('nan')):.4f} "
+            f"({n_batches} steps, {dt:.1f}s, "
+            f"{n_batches / dt:.2f} steps/s)")
+
+        if checkpoint_dir and (epoch + 1) % cfg.train.checkpoint_every == 0:
+            # persist class prototypes computed from the last batch's styles
+            from ast_tpu.models import StyleEncoder
+
+            style = StyleEncoder(cfg.model)
+            style_emb, protos = style.apply(state.style, x, labels)
+            last_protos = protos
+            path = save_checkpoint(checkpoint_dir, epoch + 1, state, protos)
+            log(f"checkpoint saved: {path}")
+
+    return state
