@@ -109,6 +109,53 @@ class StyleTransferPipeline:
 
         return core
 
+    @functools.cached_property
+    def _jitted_batch_core(self):
+        """Batched transfer: (B, n) waveforms + (B,) target ids in ONE device
+        program — amortizes host<->device round trips for serving."""
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("n_samples", "overlap"))
+        def batch_core(waveforms, class_embeddings, target_ids, content_vars,
+                       decoder_vars, n_samples: int, overlap: int):
+            a = cfg.audio
+
+            def featurize(w):
+                s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length)
+                c = cqt_ri(w, sr=a.sample_rate, n_bins=a.cqt_bins,
+                           hop_length=a.hop_length)
+                feats = concat_stft_cqt(s, c)
+                return feats, get_overlap_windows(
+                    feats, window_size=a.window_size, overlap_frames=overlap)
+
+            feats, sections = jax.vmap(featurize)(waveforms)  # (B,2,T,F), (B,S,...)
+            S = sections.shape[1]
+            content_emb = self.content.apply(content_vars, sections)  # (B,S,d)
+            class_emb = class_embeddings[target_ids]  # (B, d)
+            out = autoregressive_decode(self.decoder, decoder_vars,
+                                        content_emb, class_emb, S)
+
+            T = feats.shape[2]
+
+            def invert(windows):
+                full = sections2spectrogram(windows, T, overlap)
+                return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
+
+            return jax.vmap(invert)(out)
+
+        return batch_core
+
+    def process_audio_batch(self, waveforms, target_class_ids,
+                            overlap: Optional[int] = None) -> np.ndarray:
+        """Transfer a batch of equal-length clips in one device call."""
+        overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
+        wavs = jnp.asarray(np.asarray(waveforms, np.float32))
+        out = self._jitted_batch_core(
+            wavs, self.class_embeddings, jnp.asarray(target_class_ids),
+            self.content_vars, self.decoder_vars,
+            n_samples=int(wavs.shape[-1]), overlap=int(overlap))
+        return np.asarray(out)
+
     def process_audio(self, waveform, target_class_id: int,
                       overlap: Optional[int] = None) -> np.ndarray:
         """The reference process_audio equivalent: one fused on-device call."""

