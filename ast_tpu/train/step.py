@@ -14,11 +14,12 @@ from separate backward passes:
   embeddings — equivalent to torch .detach().
 
 Curriculum weights enter as traced scalars so one XLA program serves all four
-phases (README.md:146-149)."""
+phases (README.md:146-149). A lax.scan gradient-accumulation variant supports
+effective batches beyond device memory — a capability the reference (capped
+by one GPU) lacks."""
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
@@ -35,15 +36,9 @@ from ast_tpu.losses import (
 from ast_tpu.train.state import Models, TrainState, make_optimizers
 
 
-def make_train_step(cfg: Config, models: Models):
-    """Build the jitted train step: (state, x, labels, curriculum) -> (state, metrics).
-
-    x: (B, S, 2, window, feat_bins) balanced batch (first half piano,
-    second half violin, dataloader.py:123-147); labels: (B,).
-    curriculum: dict of scalars {contrastive, hsic, adversarial}."""
+def _build_loss_fns(cfg: Config, models: Models):
     lw = cfg.loss
     stft_bins = cfg.model.stft_bins
-    gen_tx, disc_tx = make_optimizers(cfg)
 
     def apply_generator(gen_params, state: TrainState, x, labels, rng):
         """Run encoders + teacher-forced decoder, returning losses' inputs and
@@ -133,10 +128,55 @@ def make_train_step(cfg: Config, models: Models):
         )
         return loss, {"loss/disc": loss}
 
+    return gen_loss_fn, disc_loss_fn
+
+
+def _apply_updates(state: TrainState, gen_tx, disc_tx, gen_grads, disc_grads,
+                   muts, metrics, disc_metrics, rng) -> Tuple[TrainState, Dict]:
+    gen_params = {
+        "content": state.content["params"],
+        "style": state.style["params"],
+        "decoder": state.decoder["params"],
+    }
+    updates, gen_opt_state = gen_tx.update(gen_grads, state.gen_opt_state,
+                                           gen_params)
+    gen_params = jax.tree.map(lambda p, u: p + u, gen_params, updates)
+
+    d_updates, disc_opt_state = disc_tx.update(
+        disc_grads, state.disc_opt_state, state.disc["params"])
+    disc_params = jax.tree.map(lambda p, u: p + u,
+                               state.disc["params"], d_updates)
+
+    style_mut, content_mut, dec_mut = muts
+    new_state = state.replace(
+        step=state.step + 1,
+        content={**state.content, **content_mut, "params": gen_params["content"]},
+        style={**state.style, **style_mut, "params": gen_params["style"]},
+        decoder={**state.decoder, **dec_mut, "params": gen_params["decoder"]},
+        disc={**state.disc, "params": disc_params},
+        gen_opt_state=gen_opt_state,
+        disc_opt_state=disc_opt_state,
+        rng=rng,
+    )
+    metrics = dict(metrics)
+    metrics.update(disc_metrics)
+    metrics["grad_norm/gen"] = jnp.sqrt(
+        sum(jnp.sum(g ** 2) for g in jax.tree.leaves(gen_grads)))
+    return new_state, metrics
+
+
+def make_train_step(cfg: Config, models: Models):
+    """Build the jitted train step: (state, x, labels, curriculum) -> (state, metrics).
+
+    x: (B, S, 2, window, feat_bins) balanced batch (first half piano,
+    second half violin, dataloader.py:123-147); labels: (B,).
+    curriculum: dict of scalars {contrastive, hsic, adversarial}."""
+    gen_tx, disc_tx = make_optimizers(cfg)
+    gen_loss_fn, disc_loss_fn = _build_loss_fns(cfg, models)
+
     def train_step(state: TrainState, x, labels, curriculum: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng, step_rng = jax.random.split(state.rng)
-
         gen_params = {
             "content": state.content["params"],
             "style": state.style["params"],
@@ -145,32 +185,58 @@ def make_train_step(cfg: Config, models: Models):
         (_, (metrics, muts, embs)), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(gen_params, state, x, labels, curriculum,
                                        step_rng)
-        updates, gen_opt_state = gen_tx.update(gen_grads, state.gen_opt_state,
-                                               gen_params)
-        gen_params = jax.tree.map(lambda p, u: p + u, gen_params, updates)
-
         (_, disc_metrics), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True)(state.disc["params"], state, embs, labels)
-        d_updates, disc_opt_state = disc_tx.update(
-            disc_grads, state.disc_opt_state, state.disc["params"])
-        disc_params = jax.tree.map(lambda p, u: p + u,
-                                   state.disc["params"], d_updates)
+        return _apply_updates(state, gen_tx, disc_tx, gen_grads, disc_grads,
+                              muts, metrics, disc_metrics, rng)
 
-        style_mut, content_mut, dec_mut = muts
-        new_state = state.replace(
-            step=state.step + 1,
-            content={**state.content, **content_mut, "params": gen_params["content"]},
-            style={**state.style, **style_mut, "params": gen_params["style"]},
-            decoder={**state.decoder, **dec_mut, "params": gen_params["decoder"]},
-            disc={**state.disc, "params": disc_params},
-            gen_opt_state=gen_opt_state,
-            disc_opt_state=disc_opt_state,
-            rng=rng,
-        )
-        metrics.update(disc_metrics)
-        metrics["grad_norm/gen"] = jnp.sqrt(
-            sum(jnp.sum(g ** 2) for g in jax.tree.leaves(gen_grads)))
-        return new_state, metrics
+    return jax.jit(train_step)
+
+
+def make_grad_accum_train_step(cfg: Config, models: Models, accum_steps: int):
+    """Gradient accumulation: lax.scan over microbatches averaging BOTH
+    phases' gradients, then ONE optimizer update per phase.
+
+    Inputs: xs (accum, B, S, 2, W, F), labels (accum, B)."""
+    gen_tx, disc_tx = make_optimizers(cfg)
+    gen_loss_fn, disc_loss_fn = _build_loss_fns(cfg, models)
+
+    def train_step(state: TrainState, xs, labels, curriculum):
+        rng, step_rng = jax.random.split(state.rng)
+        micro_rngs = jax.random.split(step_rng, accum_steps)
+        gen_params = {
+            "content": state.content["params"],
+            "style": state.style["params"],
+            "decoder": state.decoder["params"],
+        }
+
+        def micro(carry, inp):
+            gen_acc, disc_acc, _ = carry
+            x, lab, r = inp
+            (_, (metrics, muts, embs)), g = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(gen_params, state, x, lab,
+                                           curriculum, r)
+            (_, disc_metrics), dg = jax.value_and_grad(
+                disc_loss_fn, has_aux=True)(state.disc["params"], state, embs, lab)
+            gen_acc = jax.tree.map(lambda a, b: a + b / accum_steps, gen_acc, g)
+            disc_acc = jax.tree.map(lambda a, b: a + b / accum_steps, disc_acc, dg)
+            metrics = dict(metrics)
+            metrics.update(disc_metrics)
+            return (gen_acc, disc_acc, muts), metrics
+
+        gen_zero = jax.tree.map(jnp.zeros_like, gen_params)
+        disc_zero = jax.tree.map(jnp.zeros_like, state.disc["params"])
+        # trace once to get mutable-collection structure for the carry
+        _, (m0, muts0, e0) = gen_loss_fn(gen_params, state, xs[0], labels[0],
+                                         curriculum, micro_rngs[0])
+
+        (gen_grads, disc_grads, muts), metrics_seq = jax.lax.scan(
+            micro, (gen_zero, disc_zero, muts0), (xs, labels, micro_rngs))
+        metrics = jax.tree.map(lambda m: m.mean(), metrics_seq)
+        # disc metrics already merged inside micro; split back out
+        disc_metrics = {"loss/disc": metrics.pop("loss/disc")}
+        return _apply_updates(state, gen_tx, disc_tx, gen_grads, disc_grads,
+                              muts, metrics, disc_metrics, rng)
 
     return jax.jit(train_step)
 

@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Training CLI (the reference's train loop lived in a lost notebook,
+train2.ipynb; this is the scripted equivalent of the reconstructed recipe)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description="Curriculum GAN training")
+    p.add_argument("--piano-dir", default="dataset/train/piano")
+    p.add_argument("--violin-dir", default="dataset/train/violin")
+    p.add_argument("--stats-dir", default="train_set_stats")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--codec", choices=["linear", "conv"], default="linear")
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args()
+
+    import dataclasses
+
+    from ast_tpu.config import Config, TrainConfig
+    from ast_tpu.data.dataset import DualInstrumentDataset, balanced_batches
+    from ast_tpu.train.loop import train
+
+    cfg = dataclasses.replace(
+        Config(),
+        train=TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
+                          num_epochs=args.epochs))
+    ds = DualInstrumentDataset.from_dirs(
+        args.piano_dir, args.violin_dir, stats_dir=args.stats_dir,
+        cfg=cfg.audio)
+    print(f"dataset: {len(ds)} piano/violin pairs")
+    S = cfg.audio.num_windows(cfg.audio.frames_per_clip)
+    train(cfg,
+          lambda epoch: balanced_batches(ds, args.batch_size, epoch=epoch),
+          checkpoint_dir=args.checkpoint_dir,
+          resume=not args.no_resume,
+          codec=args.codec,
+          sections_per_clip=S)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,3 +62,16 @@ def test_generate_class_embeddings(rng):
     assert ce.shape == (2, m.d_model)
     assert np.isfinite(np.asarray(ce)).all()
     assert not np.allclose(np.asarray(ce[0]), np.asarray(ce[1]))
+
+
+def test_batched_transfer_matches_single(audio_clip):
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    import numpy as np
+    batch = np.stack([wav, wav[::-1].copy()])
+    outs = pipe.process_audio_batch(batch, np.array([1, 0]))
+    single0 = pipe.process_audio(wav, 1)
+    single1 = pipe.process_audio(wav[::-1].copy(), 0)
+    assert outs.shape == (2, len(single0))
+    np.testing.assert_allclose(outs[0], single0, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(outs[1], single1, atol=2e-4, rtol=1e-3)

@@ -77,3 +77,25 @@ def test_curriculum_schedule():
     assert w4["adversarial"] == 1.0
     scal = curriculum_scalars(cfg, 35)
     assert set(scal) == {"contrastive", "hsic", "adversarial"}
+
+
+def test_grad_accum_step(rng):
+    from ast_tpu.train.step import make_grad_accum_train_step
+
+    cfg = TINY_CFG
+    models = Models.create(cfg)
+    state = init_state(cfg, models, jax.random.PRNGKey(2), sections_per_clip=3)
+    step = make_grad_accum_train_step(cfg, models, accum_steps=2)
+    m = cfg.model
+    xs = jnp.asarray(rng.standard_normal(
+        (2, 4, 3, 2, m.window_size, m.feat_bins)).astype(np.float32))
+    labels = jnp.asarray(np.tile(np.array([0, 0, 1, 1]), (2, 1)))
+    curr = {k: jnp.asarray(1.0) for k in ("contrastive", "hsic", "adversarial")}
+    new_state, metrics = step(state, xs, labels, curr)
+    assert int(new_state.step) == 1  # one optimizer update for 2 microbatches
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    old = jax.tree.leaves(state.decoder["params"])
+    new = jax.tree.leaves(new_state.decoder["params"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(old, new))
