@@ -194,3 +194,51 @@ def load_torch_checkpoint(path: str) -> Dict[str, Dict]:
         "decoder": convert_simple_decoder(as_np(ckpt["decoder"])),
         "disc": convert_discriminator(as_np(ckpt["discriminator"])),
     }
+
+
+def _sn_convT(sd: Dict, prefix: str) -> Dict:
+    """Spectral-norm ConvTranspose2d params from torch names.
+
+    torch power-iterates ConvTranspose weights along dim=1 (u in R^out) while
+    our reshape puts u in R^in — sigma is the same singular value either way,
+    so u is re-seeded (it reconverges in a few steps) instead of imported."""
+    w = sd[f"{prefix}.weight_orig"]
+    return {
+        "params": {"kernel": _convT(w),
+                   "bias": np.asarray(sd[f"{prefix}.bias"])},
+        "spectral": {"u": np.ones(np.asarray(w).shape[0], np.float32)},
+    }
+
+
+def convert_conv_decoder(sd: Dict, num_layers: int = 4) -> Dict:
+    """reference new_decoder.py state_dict -> our Decoder(codec='conv')
+    variables. Sequential indices in torch: conv_encoder {0,3,6,9} convs with
+    BN at {1,4,7,10}; spatial_projection {0 conv3x3, 1 BN? no — {0 conv, 1 BN,
+    3 conv1x1}}; conv_decoder convT at {0,3,6,9,12} with BN at {1,4,7,10}
+    (new_decoder.py:27-100)."""
+    dst: Dict = {}
+    fc = ("frame_codec",)
+    for i, seq_idx in enumerate((0, 3, 6, 9)):
+        _merge(dst, fc + (f"enc_conv{i}",), _sn_conv(sd, f"conv_encoder.{seq_idx}"))
+        _merge(dst, fc + (f"enc_bn{i}",), _bn(sd, f"conv_encoder.{seq_idx + 1}"))
+    _merge(dst, fc + ("spatial_conv",), _sn_conv(sd, "spatial_projection.0"))
+    _merge(dst, fc + ("spatial_bn",), _bn(sd, "spatial_projection.1"))
+    _merge(dst, fc + ("spatial_out",), _sn_conv(sd, "spatial_projection.3"))
+    _merge(dst, fc + ("feature_to_sequence",),
+           {"params": _dense(sd, "feature_to_sequence")})
+    _merge(dst, fc + ("sequence_to_feature",),
+           {"params": _dense(sd, "sequence_to_feature")})
+    for i, seq_idx in enumerate((0, 3, 6, 9)):
+        _merge(dst, fc + (f"dec_conv{i}",), _sn_convT(sd, f"conv_decoder.{seq_idx}"))
+        _merge(dst, fc + (f"dec_bn{i}",), _bn(sd, f"conv_decoder.{seq_idx + 1}"))
+    _merge(dst, fc + ("dec_out",), _sn_convT(sd, "conv_decoder.12"))
+
+    _merge(dst, ("content_proj",), {"params": _dense(sd, "content_proj")})
+    _merge(dst, ("class_proj",), {"params": _dense(sd, "class_proj")})
+    for i in range(num_layers):
+        _decoder_layer(sd, f"transformer_decoder.layers.{i}", dst,
+                       ("core", f"layer{i}"))
+    _merge(dst, ("input_norm",), {"params": _norm(sd, "input_norm")})
+    _merge(dst, ("output_norm",), {"params": _norm(sd, "output_norm")})
+    dst.setdefault("params", {})["start_token"] = np.asarray(sd["start_token"])
+    return dst

@@ -112,13 +112,20 @@ class StyleTransferPipeline:
     @functools.cached_property
     def _jitted_batch_core(self):
         """Batched transfer: (B, n) waveforms + (B,) target ids in ONE device
-        program — amortizes host<->device round trips for serving."""
+        program — amortizes host<->device round trips for serving.
+
+        Waveforms may arrive as int16 PCM (the serving wire format — halves
+        host<->device bytes); conversion to/from float happens on device."""
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=("n_samples", "overlap"))
+        @functools.partial(jax.jit,
+                           static_argnames=("n_samples", "overlap", "pcm16_out"))
         def batch_core(waveforms, class_embeddings, target_ids, content_vars,
-                       decoder_vars, n_samples: int, overlap: int):
+                       decoder_vars, n_samples: int, overlap: int,
+                       pcm16_out: bool = False):
             a = cfg.audio
+            if waveforms.dtype == jnp.int16:
+                waveforms = waveforms.astype(jnp.float32) / 32768.0
 
             def featurize(w):
                 s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length)
@@ -141,20 +148,37 @@ class StyleTransferPipeline:
                 full = sections2spectrogram(windows, T, overlap)
                 return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
 
-            return jax.vmap(invert)(out)
+            wavs_out = jax.vmap(invert)(out)
+            if pcm16_out:
+                wavs_out = jnp.clip(jnp.round(wavs_out * 32768.0),
+                                    -32768, 32767).astype(jnp.int16)
+            return wavs_out
 
         return batch_core
 
     def process_audio_batch(self, waveforms, target_class_ids,
-                            overlap: Optional[int] = None) -> np.ndarray:
-        """Transfer a batch of equal-length clips in one device call."""
+                            overlap: Optional[int] = None,
+                            pcm16_wire: bool = False) -> np.ndarray:
+        """Transfer a batch of equal-length clips in one device call.
+
+        pcm16_wire=True ships int16 PCM both directions (serving wire format);
+        accepts float [-1,1] or int16 input either way."""
         overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
-        wavs = jnp.asarray(np.asarray(waveforms, np.float32))
+        arr = np.asarray(waveforms)
+        if pcm16_wire and arr.dtype != np.int16:
+            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int16)
+        elif not pcm16_wire:
+            arr = arr.astype(np.float32)
+        wavs = jnp.asarray(arr)
         out = self._jitted_batch_core(
             wavs, self.class_embeddings, jnp.asarray(target_class_ids),
             self.content_vars, self.decoder_vars,
-            n_samples=int(wavs.shape[-1]), overlap=int(overlap))
-        return np.asarray(out)
+            n_samples=int(wavs.shape[-1]), overlap=int(overlap),
+            pcm16_out=pcm16_wire)
+        out = np.asarray(out)
+        if pcm16_wire:
+            out = out.astype(np.float32) / 32768.0
+        return out
 
     def process_audio(self, waveform, target_class_id: int,
                       overlap: Optional[int] = None) -> np.ndarray:

@@ -30,6 +30,7 @@ from ast_tpu.models.decoder import (
     autoregressive_decode,
 )
 from ast_tpu.models.discriminator import Discriminator
+from ast_tpu.models.init import reference_initialize
 from ast_tpu.models.style_encoder import StyleEncoder, class_prototypes
 
 __all__ = [
@@ -38,4 +39,5 @@ __all__ = [
     "adaptive_avg_pool2d", "sinusoidal_position_encoding",
     "ContentEncoder", "ConvFrameCodec", "Decoder", "LinearFrameCodec",
     "autoregressive_decode", "Discriminator", "StyleEncoder", "class_prototypes",
+    "reference_initialize",
 ]

@@ -33,6 +33,7 @@ def train(
     sections_per_clip: int = 4,
     log: Callable[[str], None] = print,
     start_epoch: int = 0,
+    metrics_dir: Optional[str] = None,
 ) -> TrainState:
     """Run cfg.train.num_epochs epochs. `batch_iter_factory(epoch)` yields
     (x (B,S,2,W,F), labels (B,)) balanced batches."""
@@ -49,7 +50,9 @@ def train(
             log(f"Resumed from {path} (epoch {start_epoch}, step {int(state.step)})")
 
     step_fn = make_train_step(cfg, models)
+    from ast_tpu.utils.logging import MetricLogger
 
+    mlog = MetricLogger(metrics_dir)
     last_protos = None
     for epoch in range(start_epoch, cfg.train.num_epochs):
         curr = curriculum_scalars(cfg, epoch)
@@ -66,6 +69,8 @@ def train(
 
         dt = time.perf_counter() - t0
         avg = {k: v / n_batches for k, v in running.items()}
+        mlog.log(int(state.step), {**avg, "epoch": epoch + 1,
+                                   "steps_per_sec": n_batches / dt})
         log(f"epoch {epoch + 1}/{cfg.train.num_epochs} "
             f"loss={avg.get('loss/total', float('nan')):.4f} "
             f"disc={avg.get('loss/disc', float('nan')):.4f} "

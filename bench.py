@@ -34,11 +34,9 @@ def main():
         (B, cfg.audio.clip_samples))).astype(np.float32)
     targets = np.ones(B, np.int64)
 
-    # warmup / compile both paths
+    # warmup / compile the single-clip path
     out1 = pipe.transfer(clips_np[0], "violin")
     assert np.isfinite(out1).all()
-    outB = pipe.process_audio_batch(clips_np, targets)
-    assert np.isfinite(outB).all() and outB.shape[0] == B
 
     # single-clip end-to-end latency (host wav in -> host wav out)
     lat_iters = 10
@@ -48,11 +46,14 @@ def main():
     latency_ms = (time.perf_counter() - t0) / lat_iters * 1000
 
     # batched end-to-end throughput (the serving path: B clips per device
-    # call, host transfer included)
+    # call, int16 PCM wire format, host transfer included)
+    pcm = np.clip(np.round(clips_np * 32768.0), -32768, 32767).astype(np.int16)
+    out = pipe.process_audio_batch(pcm, targets, pcm16_wire=True)  # compile
+    assert np.isfinite(out).all()
     n_iters = 8
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = pipe.process_audio_batch(clips_np, targets)
+        out = pipe.process_audio_batch(pcm, targets, pcm16_wire=True)
     elapsed = time.perf_counter() - t0
     clips_per_sec = n_iters * B / elapsed
 

@@ -107,3 +107,90 @@ def test_simple_decoder_import_parity(rng):
     out = np.asarray(ours.apply(
         variables, jnp.asarray(content), jnp.asarray(class_emb), jnp.asarray(y)))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_conv_decoder_import_shapes(rng):
+    """new_decoder.py conversion: build a torch parameter set with the
+    reference's Sequential layout (via torch built-ins), convert, and verify
+    it drives our Decoder(codec='conv') forward without shape errors."""
+    import torch.nn.utils as tutils
+
+    from ast_tpu.compat.torch_import import convert_conv_decoder
+
+    cfg = TINY
+    d = cfg.d_model
+    torch.manual_seed(1)
+
+    conv_encoder = tnn.Sequential(
+        tutils.spectral_norm(tnn.Conv2d(2, 16, 3, padding=1)), tnn.BatchNorm2d(16), tnn.ReLU(),
+        tutils.spectral_norm(tnn.Conv2d(16, 32, 3, stride=2, padding=1)), tnn.BatchNorm2d(32), tnn.ReLU(),
+        tutils.spectral_norm(tnn.Conv2d(32, 64, 3, stride=2, padding=1)), tnn.BatchNorm2d(64), tnn.ReLU(),
+        tutils.spectral_norm(tnn.Conv2d(64, 64, 3, stride=2, padding=1)), tnn.BatchNorm2d(64), tnn.ReLU(),
+        tnn.AdaptiveAvgPool2d((32, 16)))
+    spatial = tnn.Sequential(
+        tutils.spectral_norm(tnn.Conv2d(64, 64, 3, padding=1)), tnn.BatchNorm2d(64),
+        tnn.ReLU(), tutils.spectral_norm(tnn.Conv2d(64, 1, 1)))
+    conv_decoder = tnn.Sequential(
+        tutils.spectral_norm(tnn.ConvTranspose2d(1, 64, 3, stride=2, padding=1, output_padding=1)),
+        tnn.BatchNorm2d(64), tnn.ReLU(),
+        tutils.spectral_norm(tnn.ConvTranspose2d(64, 32, 3, stride=2, padding=1, output_padding=1)),
+        tnn.BatchNorm2d(32), tnn.ReLU(),
+        tutils.spectral_norm(tnn.ConvTranspose2d(32, 16, 3, stride=2, padding=1, output_padding=1)),
+        tnn.BatchNorm2d(16), tnn.ReLU(),
+        tutils.spectral_norm(tnn.ConvTranspose2d(16, 8, 3, stride=2, padding=1, output_padding=1)),
+        tnn.BatchNorm2d(8), tnn.ReLU(),
+        tutils.spectral_norm(tnn.ConvTranspose2d(8, 2, 3, padding=1)))
+    mods = {
+        "feature_to_sequence": tnn.Linear(32 * 16, d),
+        "sequence_to_feature": tnn.Linear(d, 32 * 16),
+        "content_proj": tnn.Linear(d, d),
+        "class_proj": tnn.Linear(d, d),
+        "input_norm": tnn.LayerNorm(d),
+        "output_norm": tnn.LayerNorm(d),
+    }
+    dec_layer = tnn.TransformerDecoderLayer(d, cfg.num_heads, d * cfg.ff_mult,
+                                            dropout=0.0, batch_first=True,
+                                            norm_first=True)
+    transformer = tnn.TransformerDecoder(dec_layer, num_layers=cfg.num_layers)
+
+    sd = {"start_token": torch.randn(1, 1, d).numpy()}
+    for prefix, m in (("conv_encoder", conv_encoder),
+                      ("spatial_projection", spatial),
+                      ("conv_decoder", conv_decoder),
+                      ("transformer_decoder", transformer),
+                      *(((k, v) for k, v in mods.items()))):
+        for k, v in m.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.detach().numpy()
+
+    variables = convert_conv_decoder(sd, num_layers=cfg.num_layers)
+
+    B, S = 1, 2
+    content = jnp.asarray(rng.standard_normal((B, S, d)).astype(np.float32))
+    class_emb = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(
+        (B, S, 2, cfg.window_size, cfg.stft_bins)).astype(np.float32))
+    model = Decoder(cfg, codec="conv")
+    out = model.apply(variables, content, class_emb, y)
+    assert out.shape == (B, S, 2, cfg.window_size, cfg.stft_bins)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_reference_initialize():
+    import jax
+
+    from ast_tpu.models import StyleEncoder, reference_initialize
+
+    cfg = TINY
+    model = StyleEncoder(cfg)
+    x = jnp.zeros((2, 2, 2, cfg.window_size, cfg.feat_bins))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.asarray([0, 1]))
+    re_vars = reference_initialize(variables, jax.random.PRNGKey(1))
+    # norm scales 1, biases 0, cls ~N(0, 0.02)
+    p = re_vars["params"]
+    np.testing.assert_array_equal(np.asarray(p["norm"]["scale"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(p["norm"]["bias"]), 0.0)
+    cls = np.asarray(p["cls_token"])
+    assert 0.005 < cls.std() < 0.05
+    # forward still works and is finite
+    out, _ = model.apply(re_vars, x, jnp.asarray([0, 1]))
+    assert np.isfinite(np.asarray(out)).all()
