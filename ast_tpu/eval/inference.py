@@ -195,6 +195,28 @@ class StyleTransferPipeline:
         """transfer(waveform, 'violin'|'piano') -> waveform."""
         return self.process_audio(waveform, NAME_TO_ID[target])
 
+    def transfer_any_length(self, waveform, target: str,
+                            bucket_seconds: float = 5.0) -> np.ndarray:
+        """Arbitrary-length transfer with static-shape bucketing.
+
+        The reference handles arbitrary clip lengths with Python-dynamic
+        shapes (SURVEY.md §5 'dynamic sequence handling'); under jit every
+        distinct length would recompile, so the waveform is zero-padded up to
+        the next bucket boundary (multiples of `bucket_seconds`) and the
+        output is trimmed back — one compiled program per bucket, any length
+        served."""
+        wav = np.asarray(waveform, np.float32).reshape(-1)
+        sr = self.cfg.audio.sample_rate
+        bucket = max(1, int(bucket_seconds * sr))
+        n = len(wav)
+        padded_len = max(bucket, -(-n // bucket) * bucket)
+        padded = np.pad(wav, (0, padded_len - n))
+        out = self.process_audio(padded, NAME_TO_ID[target])
+        # istft output length = hop * (T - 1); trim to the same for n
+        hop = self.cfg.audio.hop_length
+        out_len = hop * (n // hop)
+        return out[:out_len]
+
 
 def generate_class_embeddings(
     cfg: Config,

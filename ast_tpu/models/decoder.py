@@ -306,9 +306,12 @@ def autoregressive_decode(
                            method=Decoder.prepare_memory)
     cross_kvs = decoder.apply(variables, memory, method=Decoder.decode_precompute)
     x0 = decoder.apply(variables, B, method=Decoder.start_tokens)
+    x0 = x0.astype(cfg.jnp_dtype)
 
-    k0 = [jnp.zeros((B, n_heads, S, d_head), x0.dtype) for _ in range(cfg.num_layers)]
-    v0 = [jnp.zeros((B, n_heads, S, d_head), x0.dtype) for _ in range(cfg.num_layers)]
+    k0 = [jnp.zeros((B, n_heads, S, d_head), cfg.jnp_dtype)
+          for _ in range(cfg.num_layers)]
+    v0 = [jnp.zeros((B, n_heads, S, d_head), cfg.jnp_dtype)
+          for _ in range(cfg.num_layers)]
 
     def step(carry, pos):
         x_t, k_caches, v_caches = carry

@@ -75,3 +75,42 @@ def test_batched_transfer_matches_single(audio_clip):
     assert outs.shape == (2, len(single0))
     np.testing.assert_allclose(outs[0], single0, atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(outs[1], single1, atol=2e-4, rtol=1e-3)
+
+
+def test_pcm16_wire_matches_float(audio_clip):
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    import numpy as np
+    batch = np.stack([wav, wav])
+    # reference: float pipeline fed the SAME quantized input
+    q_in = np.clip(np.round(batch * 32768.0), -32768, 32767) / 32768.0
+    f32 = pipe.process_audio_batch(q_in.astype(np.float32), np.array([1, 1]))
+    pcm = pipe.process_audio_batch(batch, np.array([1, 1]), pcm16_wire=True)
+    assert pcm.dtype == np.float32
+    # PCM16 output clips to [-1, 1) and quantizes to 1/32768
+    expected = np.clip(np.round(np.clip(f32, -1.0, 32767 / 32768) * 32768.0),
+                       -32768, 32767) / 32768.0
+    np.testing.assert_allclose(pcm, expected, atol=2e-4)
+
+
+def test_transfer_any_length(audio_clip):
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    import numpy as np
+    hop = TINY_AUDIO.hop_length
+    # a length that is NOT the configured clip length
+    wav = audio_clip[: TINY_AUDIO.clip_samples + 3 * hop + 7]
+    out = pipe.transfer_any_length(wav, "violin", bucket_seconds=0.25)
+    assert out.shape == (hop * (len(wav) // hop),)
+    assert np.isfinite(out).all()
+
+
+def test_bfloat16_forward():
+    import dataclasses
+    import numpy as np
+    cfg = dataclasses.replace(TINY, model=dataclasses.replace(TINY.model,
+                                                              dtype="bfloat16"))
+    pipe = StyleTransferPipeline.init_random(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)).astype(np.float32)
+    out = pipe.transfer(wav, "violin")
+    assert np.isfinite(out).all()
