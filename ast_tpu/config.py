@@ -96,6 +96,9 @@ class ModelConfig:
     use_cls: bool = True
     # Compute dtype for the forward pass; params stay float32.
     dtype: str = "float32"
+    # Rematerialize ResBlock activations in the backward pass (trades FLOPs
+    # for HBM; the CNN stack over B*S windows dominates training memory).
+    remat_cnn: bool = False
 
     @property
     def stft_dim(self) -> int:

@@ -174,12 +174,14 @@ class DeepCNN(nn.Module):
     channels: Sequence[int] = (32, 64, 128, 256, 512, 512)
     out_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: (N, H, W, C=2)
+        block_cls = nn.remat(ResBlock) if self.remat else ResBlock
         for i, ch in enumerate(self.channels):
-            x = ResBlock(ch, downsample=True, dtype=self.dtype, name=f"block{i}")(x, train)
+            x = block_cls(ch, downsample=True, dtype=self.dtype, name=f"block{i}")(x, train)
         x = adaptive_avg_pool2d(x, (2, 5))
         x = adaptive_avg_pool2d(x, (1, 1))
         x = x.reshape(x.shape[0], -1)  # (N, channels[-1])

@@ -28,7 +28,7 @@ class ContentEncoder(nn.Module):
         B, S, C, T, F = x.shape
         xw = x.reshape(B * S, C, T, F).transpose(0, 2, 3, 1)  # NHWC
         feats = DeepCNN(cfg.cnn_channels, cfg.cnn_out_dim, dtype=cfg.jnp_dtype,
-                        name="cnn")(xw, train=train)
+                        remat=cfg.remat_cnn, name="cnn")(xw, train=train)
         seq = feats.reshape(B, S, cfg.cnn_out_dim)
 
         if cfg.cnn_out_dim != cfg.d_model:

@@ -54,7 +54,7 @@ class StyleEncoder(nn.Module):
         # (style_encoder.py:213); NHWC for TPU convs
         xw = x.reshape(B * S, C, T, F).transpose(0, 2, 3, 1)
         feats = DeepCNN(cfg.cnn_channels, cfg.cnn_out_dim, dtype=cfg.jnp_dtype,
-                        name="cnn")(xw, train=train)  # (B*S, cnn_out_dim)
+                        remat=cfg.remat_cnn, name="cnn")(xw, train=train)  # (B*S, cnn_out_dim)
         seq = feats.reshape(B, S, cfg.cnn_out_dim)
 
         if cfg.cnn_out_dim != cfg.d_model:
