@@ -194,3 +194,33 @@ def test_reference_initialize():
     # forward still works and is finite
     out, _ = model.apply(re_vars, x, jnp.asarray([0, 1]))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spectral_norm_conv_matches_torch(rng):
+    """SNConv vs torch spectral_norm(Conv2d): after torch's power iteration
+    converges, eval-mode outputs must agree (we do one Rayleigh refinement
+    from the stored u; at convergence sigma is identical)."""
+    import torch.nn.utils as tutils
+
+    from ast_tpu.compat.torch_import import _sn_conv
+    from ast_tpu.models.blocks import SNConv
+
+    torch.manual_seed(3)
+    conv = tutils.spectral_norm(tnn.Conv2d(3, 5, 3, stride=2, padding=1))
+    x = rng.standard_normal((2, 3, 9, 11)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    conv.train()
+    for _ in range(50):  # converge u/v
+        conv(xt)
+    conv.eval()
+    with torch.no_grad():
+        ref = conv(xt).numpy()
+
+    sd = {f"conv.{k}": v.detach().numpy() for k, v in conv.state_dict().items()}
+    variables = _sn_conv(sd, "conv")
+    ours = SNConv(5, (3, 3), (2, 2), ((1, 1), (1, 1)))
+    out = ours.apply({"params": variables["params"],
+                      "spectral": variables["spectral"]},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
