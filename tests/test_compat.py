@@ -224,3 +224,65 @@ def test_spectral_norm_conv_matches_torch(rng):
                      jnp.asarray(x.transpose(0, 2, 3, 1)))
     out = np.asarray(out).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_resblock_matches_torch(rng):
+    """Full ResBlock chain parity: SNConv3x3 -> BN -> ReLU -> SNConv3x3 -> BN
+    + (SNConv1x1 + InstanceNorm(affine)) shortcut, final ReLU
+    (reference topology, style_encoder.py:41-84), assembled from torch
+    built-ins and compared in eval mode with imported weights."""
+    import torch.nn.utils as tutils
+
+    from ast_tpu.compat.torch_import import _bn, _norm, _sn_conv
+    from ast_tpu.models.blocks import ResBlock
+
+    torch.manual_seed(4)
+    conv1 = tutils.spectral_norm(tnn.Conv2d(3, 6, 3, stride=2, padding=1))
+    bn1 = tnn.BatchNorm2d(6)
+    conv2 = tutils.spectral_norm(tnn.Conv2d(6, 6, 3, padding=1))
+    bn2 = tnn.BatchNorm2d(6)
+    sc_conv = tutils.spectral_norm(tnn.Conv2d(3, 6, 1, stride=2))
+    sc_norm = tnn.InstanceNorm2d(6, affine=True)
+
+    x = rng.standard_normal((2, 3, 10, 14)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    # converge spectral u and accumulate BN running stats
+    for m in (conv1, bn1, conv2, bn2, sc_conv, sc_norm):
+        m.train()
+    for _ in range(30):
+        h = torch.relu(bn1(conv1(xt)))
+        h = bn2(conv2(h))
+        ident = sc_norm(sc_conv(xt))
+        _ = torch.relu(h + ident)
+    for m in (conv1, bn1, conv2, bn2, sc_conv, sc_norm):
+        m.eval()
+    with torch.no_grad():
+        h = torch.relu(bn1(conv1(xt)))
+        h = bn2(conv2(h))
+        ident = sc_norm(sc_conv(xt))
+        ref = torch.relu(h + ident).numpy()
+
+    sd = {}
+    for name, m in (("conv1", conv1), ("bn1", bn1), ("conv2", conv2),
+                    ("bn2", bn2), ("sc_conv", sc_conv), ("sc_norm", sc_norm)):
+        for k, v in m.state_dict().items():
+            sd[f"{name}.{k}"] = v.detach().numpy()
+
+    variables = {"params": {}, "batch_stats": {}, "spectral": {}}
+    def put(dst_name, sub):
+        for coll, tree in sub.items():
+            variables[coll][dst_name] = tree
+    put("conv1", _sn_conv(sd, "conv1"))
+    put("bn1", _bn(sd, "bn1"))
+    put("conv2", _sn_conv(sd, "conv2"))
+    put("bn2", _bn(sd, "bn2"))
+    put("shortcut_conv", _sn_conv(sd, "sc_conv"))
+    put("shortcut_norm", {"params": _norm(sd, "sc_norm")})
+
+    block = ResBlock(6, downsample=True)
+    out = block.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      False)  # eval mode
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    # tolerance bounded by spectral-sigma estimation drift (our one-step
+    # Rayleigh refinement vs torch's stored u/v after finite iterations)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=5e-3)
