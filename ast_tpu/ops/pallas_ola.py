@@ -36,12 +36,12 @@ def _should_interpret() -> bool:
 
 def _ola_kernel(frames_ref, out_ref, *, hop: int, taps: int, n_frames: int):
     i = pl.program_id(0)
-    acc = jnp.zeros_like(out_ref)
+    acc = jnp.zeros_like(out_ref)  # (1, hop, F)
     for k in range(taps):  # static unroll, taps is tiny (2-4)
         s = i - k
         valid = jnp.logical_and(s >= 0, s < n_frames)
         s_safe = jnp.clip(s, 0, n_frames - 1)
-        chunk = frames_ref[s_safe, k * hop : (k + 1) * hop, :]
+        chunk = frames_ref[s_safe, k * hop : (k + 1) * hop, :][None]
         acc = acc + jnp.where(valid, chunk, 0.0)
     out_ref[:] = acc
 
@@ -49,7 +49,11 @@ def _ola_kernel(frames_ref, out_ref, *, hop: int, taps: int, n_frames: int):
 @functools.partial(jax.jit, static_argnames=("hop", "interpret"))
 def overlap_add(frames: jnp.ndarray, hop: int,
                 interpret: bool | None = None) -> jnp.ndarray:
-    """(S, W, F) frames -> (hop*(S-1)+W, F) overlap-added output."""
+    """(S, W, F) frames -> (hop*(S-1)+W, F) overlap-added output.
+
+    Output is produced as (num_tiles, hop, F) blocks — the trailing (hop, F)
+    block dims equal the array dims, which satisfies the Mosaic tiling rule
+    for arbitrary hop/F — then flattened."""
     if interpret is None:
         interpret = _should_interpret()
     S, W, F = frames.shape
@@ -62,20 +66,61 @@ def overlap_add(frames: jnp.ndarray, hop: int,
 
     out = pl.pallas_call(
         functools.partial(_ola_kernel, hop=hop, taps=taps, n_frames=S),
-        out_shape=jax.ShapeDtypeStruct((num_tiles * hop, F), frames.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, hop, F), frames.dtype),
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec((S, taps * hop, F), lambda i: (0, 0, 0))],
-        out_specs=pl.BlockSpec((hop, F), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((1, hop, F), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(padded)
-    return out[:out_len]
+    return out.reshape(num_tiles * hop, F)[:out_len]
 
 
+_ROWS_PER_STEP = 8  # TPU sublane granule for the output block
+
+
+def _ola_kernel_1d(frames_ref, out_ref, *, hop: int, taps: int, n_frames: int):
+    pid = pl.program_id(0)
+    rows = []
+    for j in range(_ROWS_PER_STEP):
+        i = pid * _ROWS_PER_STEP + j
+        row = jnp.zeros((1, hop), out_ref.dtype)
+        for k in range(taps):
+            s = i - k
+            valid = jnp.logical_and(s >= 0, s < n_frames)
+            s_safe = jnp.clip(s, 0, n_frames - 1)
+            chunk = frames_ref[s_safe, k * hop : (k + 1) * hop][None, :]
+            row = row + jnp.where(valid, chunk, 0.0)
+        rows.append(row)
+    out_ref[:] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "interpret"))
 def overlap_add_waveform(frames: jnp.ndarray, hop: int,
                          interpret: bool | None = None) -> jnp.ndarray:
-    """(S, W) 1-D frames (e.g. irfft output) -> (hop*(S-1)+W,)."""
-    out = overlap_add(frames[:, :, None], hop, interpret=interpret)
-    return out[:, 0]
+    """(S, W) 1-D frames (e.g. irfft output) -> (hop*(S-1)+W,).
+
+    Dedicated 2-D layout: the window dimension sits on the TPU lane axis
+    (a trailing singleton would be padded to 128 lanes and blow VMEM);
+    8 hop-tiles per grid step satisfy the sublane granule."""
+    if interpret is None:
+        interpret = _should_interpret()
+    S, W = frames.shape
+    taps = -(-W // hop)
+    out_len = hop * (S - 1) + W
+    padded = jnp.pad(frames, ((0, 0), (0, taps * hop - W)))
+    num_tiles = S - 1 + taps
+    num_steps = -(-num_tiles // _ROWS_PER_STEP)
+
+    out = pl.pallas_call(
+        functools.partial(_ola_kernel_1d, hop=hop, taps=taps, n_frames=S),
+        out_shape=jax.ShapeDtypeStruct((num_steps * _ROWS_PER_STEP, hop),
+                                       frames.dtype),
+        grid=(num_steps,),
+        in_specs=[pl.BlockSpec((S, taps * hop), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((_ROWS_PER_STEP, hop), lambda i: (i, 0)),
+        interpret=interpret,
+    )(padded)
+    return out.reshape(-1)[:out_len]
 
 
 def overlap_add_reference(frames: jnp.ndarray, hop: int) -> jnp.ndarray:

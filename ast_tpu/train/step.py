@@ -64,7 +64,12 @@ def _build_loss_fns(cfg: Config, models: Models):
             mutable=["batch_stats", "spectral"], rngs={"dropout": r_d})
 
         muts = (style_mut, content_mut, dec_mut)
-        return style_emb, class_emb, content_emb, y, y_pred, muts
+        # losses always accumulate in f32 even when the forward computes in
+        # bfloat16 (cfg.model.dtype): HSIC kernels and log-softmax terms are
+        # precision-sensitive
+        f32 = lambda t: t.astype(jnp.float32)
+        return (f32(style_emb), f32(class_emb), f32(content_emb), f32(y),
+                f32(y_pred), muts)
 
     def gen_loss_fn(gen_params, state: TrainState, x, labels, curriculum, rng):
         style_emb, class_emb, content_emb, y, y_pred, muts = apply_generator(

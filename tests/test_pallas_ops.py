@@ -31,3 +31,25 @@ def test_overlap_add_istft_shapes(rng):
     ref = np.asarray(overlap_add_reference(frames, 256))
     assert out.shape == (256 * 85 + 1024, 1)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_istft_pallas_path_matches_scatter(rng):
+    """istft(use_pallas=True, interpreter) == istft scatter path."""
+    import sys
+
+    import jax.numpy as jnp
+    import ast_tpu.dsp  # noqa: F401
+    S = sys.modules["ast_tpu.dsp.stft"]
+
+    x = rng.standard_normal(22050).astype(np.float32)
+    spec = S.stft(jnp.asarray(x), n_fft=1024, hop_length=256)
+    ref = np.asarray(S.istft(spec, 1024, 256, use_pallas=False))
+    # interpret-mode pallas on CPU
+    import ast_tpu.ops.pallas_ola as P
+    orig = P._should_interpret
+    P._should_interpret = lambda: True
+    try:
+        out = np.asarray(S.istft(spec, 1024, 256, use_pallas=True))
+    finally:
+        P._should_interpret = orig
+    np.testing.assert_allclose(out, ref, atol=1e-5)
