@@ -34,12 +34,38 @@ def train(
     log: Callable[[str], None] = print,
     start_epoch: int = 0,
     metrics_dir: Optional[str] = None,
+    mesh=None,
 ) -> TrainState:
     """Run cfg.train.num_epochs epochs. `batch_iter_factory(epoch)` yields
-    (x (B,S,2,W,F), labels (B,)) balanced batches."""
+    (x (B,S,2,W,F), labels (B,)) balanced batches.
+
+    With `mesh` (a ("data","model") jax.sharding.Mesh), batches shard on the
+    data axis and the decoder's frame-codec projections go tensor-parallel on
+    the model axis; XLA inserts the gradient all-reduce (the DDP/NCCL
+    equivalent the reference never had, SURVEY.md §2.3)."""
     models = Models.create(cfg, codec=codec)
     state = init_state(cfg, models, jax.random.PRNGKey(cfg.train.seed),
                        sections_per_clip=sections_per_clip)
+
+    shard_batch = lambda t: t
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ast_tpu.parallel import batch_sharding, shard_variables
+
+        rep = NamedSharding(mesh, P())
+        state = state.replace(
+            content=jax.tree.map(lambda l: jax.device_put(l, rep), state.content),
+            style=jax.tree.map(lambda l: jax.device_put(l, rep), state.style),
+            decoder=shard_variables(state.decoder, mesh),
+            disc=jax.tree.map(lambda l: jax.device_put(l, rep), state.disc),
+            gen_opt_state=jax.tree.map(lambda l: jax.device_put(l, rep),
+                                       state.gen_opt_state),
+            disc_opt_state=jax.tree.map(lambda l: jax.device_put(l, rep),
+                                        state.disc_opt_state),
+        )
+        bsh = batch_sharding(mesh)
+        shard_batch = lambda t: jax.device_put(t, bsh)
 
     if checkpoint_dir and resume:
         path = latest_checkpoint(checkpoint_dir)
@@ -60,7 +86,8 @@ def train(
         n_batches = 0
         running = {}
         for x, labels in prefetch(lambda e=epoch: iter(batch_iter_factory(e))):
-            state, metrics = step_fn(state, x, labels, curr)
+            state, metrics = step_fn(state, shard_batch(x), shard_batch(labels),
+                                     curr)
             n_batches += 1
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)

@@ -87,3 +87,33 @@ def test_tensor_parallel_codec_forward(rng):
         jax.jit(lambda v, c, e, t: models.decoder.apply(v, c, e, t))(
             sharded_vars, content, class_emb, y))
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_mesh_aware_train_loop(rng, tmp_path):
+    """train() with a mesh: full epoch on the 8-device CPU mesh."""
+    import os
+
+    from ast_tpu.config import AudioConfig, TrainConfig
+    from ast_tpu.data import make_wav_fixture
+    from ast_tpu.data.dataset import DualInstrumentDataset, balanced_batches
+    from ast_tpu.train.loop import train
+
+    audio = AudioConfig(sample_rate=4000, clip_seconds=0.5, n_fft=64,
+                        hop_length=64, cqt_bins=12, cqt_fmin=200.0,
+                        window_size=16, overlap_frames=5, eval_overlap_frames=5)
+    model = dataclasses.replace(ModelConfig().tiny(), window_size=16,
+                                stft_bins=audio.stft_bins,
+                                feat_bins=audio.feat_bins)
+    cfg = dataclasses.replace(Config(), audio=audio, model=model,
+                              train=TrainConfig(batch_size=8, num_epochs=1))
+
+    root = str(tmp_path)
+    make_wav_fixture(root, n_clips=4, cfg=audio)
+    ds = DualInstrumentDataset.from_dirs(os.path.join(root, "piano"),
+                                         os.path.join(root, "violin"),
+                                         stats_dir=None, cfg=audio)
+    S = audio.num_windows(audio.frames_per_clip)
+    mesh = make_mesh((4, 2))
+    state = train(cfg, lambda e: balanced_batches(ds, 8, epoch=e),
+                  sections_per_clip=S, mesh=mesh)
+    assert int(state.step) >= 1
