@@ -22,6 +22,7 @@ B/2 items a batch actually needs are touched."""
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Iterator, List, Optional, Tuple
 
@@ -85,25 +86,30 @@ def _fix_len(x: np.ndarray, n: int) -> np.ndarray:
     return x[:n].astype(np.float32)
 
 
-def _featurize_batch(dataset: DualInstrumentDataset,
-                     piano_wavs: jnp.ndarray,
-                     violin_wavs: jnp.ndarray) -> jnp.ndarray:
-    """On-device batched featurization with per-instrument stats."""
-    cfg = dataset.cfg
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _featurize_core(piano_wavs, violin_wavs, piano_stats, violin_stats,
+                    cfg: AudioConfig) -> jnp.ndarray:
+    """On-device batched featurization with per-instrument stats — ONE jitted
+    program per (batch, cfg) bucket (eager dispatch per-op is both slow and
+    unsupported on some backends)."""
     outs = []
-    for wavs, stats in ((piano_wavs, dataset.stats[0]),
-                        (violin_wavs, dataset.stats[1])):
+    for wavs, st in ((piano_wavs, piano_stats), (violin_wavs, violin_stats)):
         f = jax.vmap(
-            lambda w: extract_features(
-                w,
-                jnp.asarray(stats.stft_mean), jnp.asarray(stats.stft_std),
-                jnp.asarray(stats.cqt_mean), jnp.asarray(stats.cqt_std),
-                cfg=cfg))(wavs)
+            lambda w, s=st: extract_features(w, s[0], s[1], s[2], s[3], cfg=cfg)
+        )(wavs)
         outs.append(f)
     return jnp.concatenate(outs, axis=0)  # (B, S, 2, W, F)
 
 
-_featurize_jit = jax.jit(_featurize_batch, static_argnames=())
+def _featurize_batch(dataset: DualInstrumentDataset,
+                     piano_wavs: jnp.ndarray,
+                     violin_wavs: jnp.ndarray) -> jnp.ndarray:
+    def pack(stats):
+        return (jnp.asarray(stats.stft_mean), jnp.asarray(stats.stft_std),
+                jnp.asarray(stats.cqt_mean), jnp.asarray(stats.cqt_std))
+
+    return _featurize_core(piano_wavs, violin_wavs, pack(dataset.stats[0]),
+                           pack(dataset.stats[1]), dataset.cfg)
 
 
 def balanced_batches(
