@@ -228,8 +228,11 @@ def generate_class_embeddings(
     does from its first test batch (evaluation_style_transfer.py:39-75 —
     prototypes are not checkpointed, quirk #5). Returns (2, d)."""
     style = StyleEncoder(cfg.model)
-    _, piano_emb = style.apply(style_vars, piano_sections[None],
-                               jnp.asarray([0]))
-    _, violin_emb = style.apply(style_vars, violin_sections[None],
-                                jnp.asarray([1]))
-    return jnp.stack([piano_emb[0], violin_emb[1]], axis=0)
+
+    @jax.jit
+    def protos(sv, piano, violin):
+        _, piano_emb = style.apply(sv, piano[None], jnp.asarray([0]))
+        _, violin_emb = style.apply(sv, violin[None], jnp.asarray([1]))
+        return jnp.stack([piano_emb[0], violin_emb[1]], axis=0)
+
+    return protos(style_vars, piano_sections, violin_sections)

@@ -16,6 +16,7 @@ import os
 from pathlib import Path
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,13 @@ def process_test_set_with_dataloader(
 
     content = ContentEncoder(cfg.model)
     decoder = bundle.models.decoder
+    content_apply = jax.jit(lambda v, s: content.apply(v, s))
+    ar_decode = jax.jit(
+        lambda v, c, e, S: autoregressive_decode(decoder, v, c, e, S),
+        static_argnames=("S",))
+    istft_first = jax.jit(
+        lambda w: istft_ri(w[0], n_fft=cfg.audio.n_fft,
+                           hop_length=cfg.audio.hop_length))
 
     # class prototypes: from checkpoint when available, else bootstrapped from
     # the first batch as the reference does (evaluation_reconstruction.py:124-155)
@@ -108,15 +116,15 @@ def process_test_set_with_dataloader(
             label = int(labels[i])
             source_class = "piano" if label == 0 else "violin"
 
-            content_emb = content.apply(bundle.state.content, sample)
+            content_emb = content_apply(bundle.state.content, sample)
             class_emb = class_embeddings[label][None]
             stft_sections = sample[:, :, :, :, : cfg.model.stft_bins]
             S = stft_sections.shape[1]
 
-            recon = autoregressive_decode(decoder, bundle.state.decoder,
-                                          content_emb, class_emb, S)
-            recon_audio = reconstruct_audio_first_window(recon[0], cfg)
-            orig_audio = reconstruct_audio_first_window(stft_sections[0], cfg)
+            recon = ar_decode(bundle.state.decoder, content_emb, class_emb, S)
+            # first window only, quirk #3 (evaluation_reconstruction.py:161-189)
+            recon_audio = np.asarray(istft_first(recon[0]))
+            orig_audio = np.asarray(istft_first(stft_sections[0]))
 
             result = calculate_reconstruction_metrics(
                 orig_audio, recon_audio, cfg.audio.sample_rate)

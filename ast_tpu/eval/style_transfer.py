@@ -109,6 +109,17 @@ def process_test_set(
     overlap = cfg.audio.eval_overlap_frames
     metrics: Dict[str, list] = {"piano_to_violin": [], "violin_to_piano": []}
 
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("total_frames",))
+    def windows_to_audio(sample, total_frames: int):
+        full = sections2spectrogram(sample, total_frames, overlap)
+        stft_spec = full[:, :, : cfg.model.stft_bins]
+        return istft_ri(stft_spec, n_fft=cfg.audio.n_fft,
+                        hop_length=cfg.audio.hop_length)
+
     class_embeddings = bundle.class_prototypes
     pipeline = None
 
@@ -136,10 +147,7 @@ def process_test_set(
             # windows -> full spectrogram (eval overlap) -> STFT slice -> audio
             n_sections, _, wind, _ = sample.shape
             total_frames = (n_sections - 1) * (wind - overlap) + wind
-            full = sections2spectrogram(sample, total_frames, overlap)
-            stft_spec = full[:, :, : cfg.model.stft_bins]
-            waveform = np.asarray(istft_ri(stft_spec, n_fft=cfg.audio.n_fft,
-                                           hop_length=cfg.audio.hop_length))
+            waveform = np.asarray(windows_to_audio(sample, total_frames))
 
             generated = pipeline.process_audio(waveform, tgt_label)
             reference = _random_reference(test_dir, ID_TO_NAME[tgt_label],
