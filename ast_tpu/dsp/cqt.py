@@ -158,14 +158,15 @@ def icqt(
 
     n_frames = frames.shape[-2]
     total = n_fft + hop_length * (n_frames - 1)
-    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]).reshape(-1)
+    # on-device indices (numpy would bake a huge constant into the HLO)
+    idx = (jnp.arange(n_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :]).reshape(-1)
     lead = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames * n_fft))
     out = jnp.zeros((flat.shape[0], total), dtype=frames.dtype)
     out = out.at[:, idx].add(flat)
-    counts = np.zeros(total, np.float32)
-    np.add.at(counts, idx, 1.0)
-    out = out / jnp.asarray(np.maximum(counts, 1.0))
+    counts = jnp.zeros(total, jnp.float32).at[idx].add(1.0)
+    out = out / jnp.maximum(counts, 1.0)
     pad = n_fft // 2
     out = out[:, pad : pad + n_samples]
     return out.reshape(lead + (out.shape[-1],))

@@ -42,12 +42,27 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> j
     """Slice a (..., n_samples) signal into (..., n_frames, n_fft) frames.
 
     With center=True the signal is reflect-padded by n_fft//2 on both sides
-    first (torch.stft default)."""
+    first (torch.stft default).
+
+    No gather-index constants: a numpy (n_frames, n_fft) index matrix would be
+    baked into the HLO (339MB for a 60s clip at the CQT's 16384-sample
+    frames, breaking remote compile and bloating every program). When hop
+    divides n_fft, frame t = concat of n_fft/hop consecutive hop-blocks, so
+    framing is n_fft/hop cheap strided slices; otherwise indices are built
+    on-device from iota."""
     if center:
         pad = n_fft // 2
         pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
         x = jnp.pad(x, pad_widths, mode="reflect")
-    idx = _frame_indices(x.shape[-1], n_fft, hop)
+    n = x.shape[-1]
+    n_frames = 1 + (n - n_fft) // hop
+    if n_fft % hop == 0:
+        r = n_fft // hop
+        m = n // hop
+        blocks = x[..., : m * hop].reshape(x.shape[:-1] + (m, hop))
+        parts = [blocks[..., j : j + n_frames, :] for j in range(r)]
+        return jnp.concatenate(parts, axis=-1)
+    idx = (jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :])
     return x[..., idx]
 
 
@@ -128,9 +143,12 @@ def istft(
         out = _jax.vmap(
             lambda fr: overlap_add_waveform(fr, hop_length))(flat)
     else:
-        idx = _frame_indices(total, n_fft, hop_length)  # (n_frames, n_fft)
+        # indices built on-device (a numpy index matrix would become a large
+        # HLO constant)
+        idx = (jnp.arange(n_frames)[:, None] * hop_length
+               + jnp.arange(n_fft)[None, :]).reshape(-1)
         out = jnp.zeros((flat.shape[0], total), dtype=frames.dtype)
-        out = out.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+        out = out.at[:, idx].add(flat.reshape(flat.shape[0], -1))
 
     env = jnp.asarray(_ola_envelope(n_frames, n_fft, hop_length))
     out = out / jnp.where(env > 1e-11, env, 1.0)
