@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,15 +98,48 @@ def cqt(
     fmin: float = _DEF.cqt_fmin,
     filter_scale: float = _DEF.cqt_filter_scale,
     scale: bool = True,
+    frame_chunk: int = 512,
 ) -> jnp.ndarray:
     """Complex CQT of a (..., n_samples) signal -> (..., n_frames, n_bins).
 
     Time-major layout; n_frames = 1 + n_samples // hop (same framing as stft,
-    center=True with reflect padding)."""
+    center=True with reflect padding).
+
+    Frames are processed in `frame_chunk`-sized blocks under lax.map: the
+    16384-sample analysis frames would otherwise materialize O(T * n_fft)
+    float + complex temporaries at once (multi-GB for minute-long clips)."""
     fft_basis, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin, filter_scale)
-    frames = frame_signal(x, n_fft, hop_length, center=True)  # (..., T, n_fft)
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (..., T, n_fft//2+1)
-    out = spec @ jnp.asarray(fft_basis).T  # (..., T, n_bins)
+    basis_t = jnp.asarray(fft_basis).T
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    T = 1 + n // hop_length
+
+    if T > frame_chunk:
+        # frame AND transform per chunk: materializing all (T, 16384) frames
+        # at once costs O(T*n_fft) float + complex HBM (multi-GB for
+        # minute-long clips)
+        pad = n_fft // 2
+        xp = jnp.pad(x.reshape((-1, n)), ((0, 0), (pad, pad)), mode="reflect")
+        n_chunks = -(-T // frame_chunk)
+        seg_len = (frame_chunk - 1) * hop_length + n_fft
+        total_needed = (n_chunks * frame_chunk - 1) * hop_length + n_fft
+        xp = jnp.pad(xp, ((0, 0), (0, max(0, total_needed - xp.shape[-1]))))
+
+        def one_chunk(c):
+            seg = jax.lax.dynamic_slice_in_dim(
+                xp, c * frame_chunk * hop_length, seg_len, axis=-1)
+            fr = frame_signal(seg, n_fft, hop_length, center=False)
+            return jnp.fft.rfft(fr, n=n_fft, axis=-1) @ basis_t
+
+        out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+        out = out.swapaxes(0, 1).reshape(xp.shape[0], n_chunks * frame_chunk,
+                                         n_bins)
+        out = out[:, :T].reshape(lead + (T, n_bins))
+    else:
+        frames = frame_signal(x, n_fft, hop_length, center=True)
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (..., T, n_fft//2+1)
+        out = spec @ basis_t  # (..., T, n_bins)
+
     if scale:
         out = out / jnp.sqrt(jnp.asarray(lengths))
     return out
