@@ -99,3 +99,22 @@ def test_grad_accum_step(rng):
     new = jax.tree.leaves(new_state.decoder["params"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(old, new))
+
+
+def test_train_step_conv_codec(rng):
+    """The second decoder family (new_decoder conv codec) trains too."""
+    cfg = TINY_CFG
+    models = Models.create(cfg, codec="conv")
+    state = init_state(cfg, models, jax.random.PRNGKey(3), sections_per_clip=2)
+    step = make_train_step(cfg, models)
+    m = cfg.model
+    x = jnp.asarray(rng.standard_normal(
+        (4, 2, 2, m.window_size, m.feat_bins)).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 0, 1, 1]))
+    curr = {k: jnp.asarray(1.0) for k in ("contrastive", "hsic", "adversarial")}
+    new_state, metrics = step(state, x, labels, curr)
+    assert np.isfinite(float(metrics["loss/total"]))
+    old = jax.tree.leaves(state.decoder["params"])
+    new = jax.tree.leaves(new_state.decoder["params"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(old, new))
