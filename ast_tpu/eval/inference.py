@@ -90,6 +90,8 @@ class StyleTransferPipeline:
         def core(waveform, class_embeddings, target_class_id, content_vars,
                  decoder_vars, n_samples: int, overlap: int):
             a = cfg.audio
+            if waveform.dtype == jnp.int16:  # PCM16 wire (serving)
+                waveform = waveform.astype(jnp.float32) / 32768.0
             s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length)
             c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
                        hop_length=a.hop_length)
@@ -181,10 +183,18 @@ class StyleTransferPipeline:
         return out
 
     def process_audio(self, waveform, target_class_id: int,
-                      overlap: Optional[int] = None) -> np.ndarray:
-        """The reference process_audio equivalent: one fused on-device call."""
+                      overlap: Optional[int] = None,
+                      pcm16_in: bool = False) -> np.ndarray:
+        """The reference process_audio equivalent: one fused on-device call.
+
+        pcm16_in ships the input as int16 PCM (halves upload bytes)."""
         overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
-        wav = jnp.asarray(np.asarray(waveform, np.float32).reshape(-1))
+        arr = np.asarray(waveform).reshape(-1)
+        if pcm16_in and arr.dtype != np.int16:
+            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int16)
+        elif not pcm16_in:
+            arr = arr.astype(np.float32)
+        wav = jnp.asarray(arr)
         out = self._jitted_core(
             wav, self.class_embeddings, jnp.asarray(target_class_id),
             self.content_vars, self.decoder_vars,
