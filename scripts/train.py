@@ -19,6 +19,9 @@ def main():
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--codec", choices=["linear", "conv"], default="linear")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 forward compute (losses stay f32); ~2-3x "
+                        "training throughput")
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args()
 
@@ -28,8 +31,11 @@ def main():
     from ast_tpu.data.dataset import DualInstrumentDataset, balanced_batches
     from ast_tpu.train.loop import train
 
+    cfg = Config()
+    model_cfg = (dataclasses.replace(cfg.model, dtype="bfloat16")
+                 if args.bf16 else cfg.model)
     cfg = dataclasses.replace(
-        Config(),
+        cfg, model=model_cfg,
         train=TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                           num_epochs=args.epochs))
     ds = DualInstrumentDataset.from_dirs(
