@@ -26,4 +26,19 @@ from ast_tpu.config import (
 __all__ = [
     "AudioConfig", "Config", "CurriculumSchedule", "DEFAULT_CONFIG",
     "LossWeights", "ModelConfig", "TrainConfig", "__version__",
+    "StyleTransferPipeline", "train",
 ]
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax-heavy modules on
+    `import ast_tpu`)."""
+    if name == "StyleTransferPipeline":
+        from ast_tpu.eval.inference import StyleTransferPipeline
+
+        return StyleTransferPipeline
+    if name == "train":
+        from ast_tpu.train.loop import train
+
+        return train
+    raise AttributeError(name)

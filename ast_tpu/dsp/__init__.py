@@ -7,7 +7,7 @@ filterbank matmul.
 """
 
 from ast_tpu.dsp.stft import stft, istft, stft_ri, istft_ri, hann_window, frame_signal
-from ast_tpu.dsp.cqt import cqt, cqt_ri, icqt, cqt_kernel, cqt_frequencies
+from ast_tpu.dsp.cqt import cqt, cqt_ri, icqt, icqt_ri, cqt_kernel, cqt_frequencies
 from ast_tpu.dsp.windows import (
     get_overlap_windows,
     sections2spectrogram,
@@ -21,7 +21,7 @@ from ast_tpu.dsp.resample import resample, resample_np
 
 __all__ = [
     "stft", "istft", "stft_ri", "istft_ri", "hann_window", "frame_signal",
-    "cqt", "cqt_ri", "icqt", "cqt_kernel", "cqt_frequencies",
+    "cqt", "cqt_ri", "icqt", "icqt_ri", "cqt_kernel", "cqt_frequencies",
     "get_overlap_windows", "sections2spectrogram", "concat_stft_cqt",
     "num_windows", "window_starts",
     "normalize", "denormalize", "FeatureStats", "load_instrument_stats",

@@ -204,3 +204,13 @@ def icqt(
     pad = n_fft // 2
     out = out[:, pad : pad + n_samples]
     return out.reshape(lead + (out.shape[-1],))
+
+
+def icqt_ri(cqt_tensor: jnp.ndarray, n_samples: int,
+            sr: int = _DEF.sample_rate, n_bins: int = _DEF.cqt_bins,
+            hop_length: int = _DEF.hop_length) -> jnp.ndarray:
+    """Inverse CQT from the reference's packed (2, T, F) layout
+    (reference: utilityFunctions.py:84-103 inverse_CQT signature)."""
+    c = jax.lax.complex(cqt_tensor[0], cqt_tensor[1])
+    return icqt(c, n_samples=n_samples, sr=sr, n_bins=n_bins,
+                hop_length=hop_length)

@@ -114,3 +114,13 @@ def test_bfloat16_forward():
     wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)).astype(np.float32)
     out = pipe.transfer(wav, "violin")
     assert np.isfinite(out).all()
+
+
+def test_pcm16_single_clip_input(audio_clip):
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    import numpy as np
+    q = np.clip(np.round(wav * 32768.0), -32768, 32767) / 32768.0
+    ref = pipe.process_audio(q.astype(np.float32), 1)
+    out = pipe.process_audio(wav, 1, pcm16_in=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -142,3 +142,47 @@ def test_plotting_smoke(tmp_path, rng):
     assert len(figs) == 2
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_compute_unified_stats(tmp_path):
+    from ast_tpu.tools import compute_unified_stats
+
+    piano = tmp_path / "p"
+    violin = tmp_path / "v"
+    piano.mkdir(), violin.mkdir()
+    _write_tone(str(piano / "a.wav"), 0.5, freq=300)
+    _write_tone(str(violin / "b.wav"), 0.5, freq=500)
+    path = compute_unified_stats(str(piano), str(violin), str(tmp_path / "s"),
+                                 cfg=TINY_AUDIO)
+    st = read_stats_npz(path)
+    assert st.stft_mean.shape == (2, TINY_AUDIO.stft_bins)
+
+
+def test_analyze_and_summarize(tmp_path, capsys):
+    from ast_tpu.tools import analyze_dataset, summarize_statistics
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    _write_tone(str(d / "a.wav"), 1.0)
+    _write_tone(str(d / "b.wav"), 1.0, freq=660)
+    stats = analyze_dataset(str(d))
+    assert len(stats["filenames"]) == 2
+    assert abs(stats["durations"][0] - 1.0) < 0.01
+    summarize_statistics("DS", stats)
+    out = capsys.readouterr().out
+    assert "Files analyzed: 2" in out
+
+
+def test_dataset_variety_embedding(tmp_path):
+    from ast_tpu.tools import dataset_variety_embedding
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    for i in range(3):
+        _write_tone(str(d1 / f"{i}.wav"), 0.5, freq=200 + 20 * i)
+        _write_tone(str(d2 / f"{i}.wav"), 0.5, freq=800 + 20 * i)
+    emb, labels, colors = dataset_variety_embedding(
+        [(str(d1), "blue"), (str(d2), "red")], perplexity=2.0)
+    assert emb.shape == (6, 2)
+    assert colors == ["blue"] * 3 + ["red"] * 3
