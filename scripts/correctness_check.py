@@ -39,10 +39,14 @@ def main():
     t = np.arange(a.clip_samples) / sr
     wav = (0.4 * np.sin(2 * np.pi * 440 * t)
            + 0.2 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
-    s = stft_ri(jnp.asarray(wav))
-    c = cqt_ri(jnp.asarray(wav))
-    feats = concat_stft_cqt(s, c)
-    windows = get_overlap_windows(feats)
+    @jax.jit
+    def dsp_chain(w):
+        s = stft_ri(w)
+        c = cqt_ri(w)
+        feats = concat_stft_cqt(s, c)
+        return s, c, feats, get_overlap_windows(feats)
+
+    s, c, feats, windows = dsp_chain(jnp.asarray(wav))
     print(f"STFT {s.shape}  CQT {c.shape}  concat {feats.shape}  "
           f"windows {windows.shape}")
     assert s.shape == (2, 862, 513) and c.shape == (2, 862, 84)
@@ -55,12 +59,12 @@ def main():
     labels = jnp.asarray([0, 1])
     style = StyleEncoder(m)
     svars = style.init(jax.random.PRNGKey(0), x, labels)
-    style_emb, class_emb = style.apply(svars, x, labels)
+    style_emb, class_emb = jax.jit(style.apply)(svars, x, labels)
     print(f"style_emb {style_emb.shape} mean={float(style_emb.mean()):+.4f} "
           f"std={float(style_emb.std()):.4f} finite={bool(jnp.isfinite(style_emb).all())}")
     content = ContentEncoder(m)
     cvars = content.init(jax.random.PRNGKey(1), x)
-    content_emb = content.apply(cvars, x)
+    content_emb = jax.jit(content.apply)(cvars, x)
     print(f"content_emb {content_emb.shape} mean={float(content_emb.mean()):+.4f} "
           f"std={float(content_emb.std()):.4f} finite={bool(jnp.isfinite(content_emb).all())}")
     assert bool(jnp.isfinite(style_emb).all()) and bool(jnp.isfinite(content_emb).all())
@@ -89,8 +93,7 @@ def main():
             stats_dir=None, cfg=a)
         xb, lb = next(iter(balanced_batches(ds, 2, shuffle=False)))
         print(f"batch {xb.shape} labels {np.asarray(lb)}")
-        recon = istft_ri(
-            jnp.asarray(xb[0, 0, :, :, :513]))
+        recon = jax.jit(istft_ri)(jnp.asarray(xb[0, 0, :, :, :513]))
         out = os.path.join(root, "roundtrip.wav")
         write_wav(out, np.clip(np.asarray(recon), -1, 1), sr)
         print(f"inverted first window -> {out} ({len(recon)} samples)")
