@@ -179,7 +179,9 @@ class DeepCNN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # x: (N, H, W, C=2)
-        block_cls = nn.remat(ResBlock) if self.remat else ResBlock
+        # static_argnums counts self: (self=0, x=1, train=2)
+        block_cls = (nn.remat(ResBlock, static_argnums=(2,))
+                     if self.remat else ResBlock)
         for i, ch in enumerate(self.channels):
             x = block_cls(ch, downsample=True, dtype=self.dtype, name=f"block{i}")(x, train)
         x = adaptive_avg_pool2d(x, (2, 5))
