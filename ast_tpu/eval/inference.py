@@ -64,15 +64,17 @@ class StyleTransferPipeline:
                     codec: str = "linear", sections: int = 5):
         """Random-weight pipeline — mirrors the reference eval's fallback to
         random init when checkpoints are absent
-        (evaluation_reconstruction.py:264-278)."""
+        (evaluation_reconstruction.py:264-278). Param shapes are independent
+        of S, so init traces with S=1 (fastest compile)."""
+        del sections  # param shapes don't depend on it
         m = cfg.model
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         content = ContentEncoder(m)
         decoder = Decoder(m, codec=codec)
-        x = jnp.zeros((1, sections, 2, m.window_size, m.feat_bins), m.jnp_dtype)
-        seq = jnp.zeros((1, sections, m.d_model), m.jnp_dtype)
+        x = jnp.zeros((1, 1, 2, m.window_size, m.feat_bins), m.jnp_dtype)
+        seq = jnp.zeros((1, 1, m.d_model), m.jnp_dtype)
         emb = jnp.zeros((1, m.d_model), m.jnp_dtype)
-        y = jnp.zeros((1, sections, 2, m.window_size, m.stft_bins), m.jnp_dtype)
+        y = jnp.zeros((1, 1, 2, m.window_size, m.stft_bins), m.jnp_dtype)
         content_vars = content.init(k1, x)
         decoder_vars = decoder.init(k2, seq, emb, y)
         class_embeddings = jax.random.normal(jax.random.PRNGKey(seed + 1),

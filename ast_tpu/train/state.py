@@ -74,9 +74,16 @@ def make_optimizers(cfg: Config):
 
 def init_state(cfg: Config, models: Models, rng: jax.Array,
                sections_per_clip: int = 4) -> TrainState:
-    """Initialize all module variables with dummy shaped inputs."""
+    """Initialize all module variables with dummy shaped inputs.
+
+    Parameter shapes are independent of batch and section count (the models
+    are fully shape-dynamic over B and S), so init traces with B=2, S=1 —
+    the cheapest program that creates every variable. sections_per_clip is
+    kept in the signature for callers that want the historical behavior but
+    does not affect the result."""
+    del sections_per_clip  # param shapes don't depend on it
     m = cfg.model
-    B, S = 2, sections_per_clip
+    B, S = 2, 1
     x = jnp.zeros((B, S, 2, m.window_size, m.feat_bins), m.jnp_dtype)
     y = jnp.zeros((B, S, 2, m.window_size, m.stft_bins), m.jnp_dtype)
     labels = jnp.array([0, 1])
