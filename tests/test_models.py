@@ -194,3 +194,23 @@ def test_kv_cache_decode_matches_full_prefix():
     slow = np.asarray(model.apply(variables, dec_out, False,
                                   method=Decoder.generate_output))
     np.testing.assert_allclose(fast, slow, atol=2e-4, rtol=1e-3)
+
+
+def test_kv_cache_decode_conv_codec():
+    """AR decode with the conv frame codec produces the right shapes and is
+    deterministic (the KV-cache==full-prefix equivalence is codec-agnostic;
+    proven for the shared core in the linear test)."""
+    rng = np.random.default_rng(5)
+    B, S = 1, 3
+    cfg = TINY
+    content = jnp.asarray(rng.standard_normal((B, S, cfg.d_model)).astype(np.float32))
+    class_emb = jnp.asarray(rng.standard_normal((B, cfg.d_model)).astype(np.float32))
+    y_dummy = jnp.asarray(rng.standard_normal(
+        (B, S, 2, cfg.window_size, cfg.stft_bins)).astype(np.float32))
+    model = Decoder(cfg, codec="conv")
+    variables = model.init(jax.random.PRNGKey(0), content, class_emb, y_dummy)
+    out1 = np.asarray(autoregressive_decode(model, variables, content, class_emb, S))
+    out2 = np.asarray(autoregressive_decode(model, variables, content, class_emb, S))
+    assert out1.shape == (B, S, 2, cfg.window_size, cfg.stft_bins)
+    assert np.isfinite(out1).all()
+    np.testing.assert_array_equal(out1, out2)
