@@ -35,6 +35,7 @@ def train(
     start_epoch: int = 0,
     metrics_dir: Optional[str] = None,
     mesh=None,
+    reference_init: bool = False,
 ) -> TrainState:
     """Run cfg.train.num_epochs epochs. `batch_iter_factory(epoch)` yields
     (x (B,S,2,W,F), labels (B,)) balanced batches.
@@ -46,6 +47,21 @@ def train(
     models = Models.create(cfg, codec=codec)
     state = init_state(cfg, models, jax.random.PRNGKey(cfg.train.seed),
                        sections_per_clip=sections_per_clip)
+
+    if reference_init:
+        # the reference's conservative init scheme (style_encoder.py:263-308:
+        # He convs, Xavier gain 0.2 linears/transformer, N(0,0.02) CLS) —
+        # the authors' fix for gradient explosions under default init
+        from ast_tpu.models.init import reference_initialize
+
+        k = jax.random.PRNGKey(cfg.train.seed + 1)
+        ks = jax.random.split(k, 4)
+        state = state.replace(
+            content=reference_initialize(state.content, ks[0]),
+            style=reference_initialize(state.style, ks[1]),
+            decoder=reference_initialize(state.decoder, ks[2]),
+            disc=reference_initialize(state.disc, ks[3]),
+        )
 
     shard_batch = lambda t: t
     if mesh is not None:
