@@ -105,13 +105,15 @@ def train(
             state, metrics = step_fn(state, shard_batch(x), shard_batch(labels),
                                      curr)
             n_batches += 1
+            # accumulate on device; fetching every scalar every step costs a
+            # host round-trip per metric (expensive on remote-attached TPUs)
             for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
+                running[k] = v if k not in running else running[k] + v
         if n_batches == 0:
             raise ValueError("batch_iter_factory produced no batches")
 
         dt = time.perf_counter() - t0
-        avg = {k: v / n_batches for k, v in running.items()}
+        avg = {k: float(v) / n_batches for k, v in running.items()}
         mlog.log(int(state.step), {**avg, "epoch": epoch + 1,
                                    "steps_per_sec": n_batches / dt})
         log(f"epoch {epoch + 1}/{cfg.train.num_epochs} "
