@@ -16,9 +16,8 @@ from __future__ import annotations
 import ctypes
 import functools
 import math
-import os
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

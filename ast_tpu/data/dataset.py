@@ -33,7 +33,7 @@ import numpy as np
 from ast_tpu.config import AudioConfig
 from ast_tpu.data.audio_io import load_audio
 from ast_tpu.dsp.features import extract_features
-from ast_tpu.dsp.norm import FeatureStats, load_instrument_stats
+from ast_tpu.dsp.norm import load_instrument_stats
 
 AUDIO_EXTS = (".wav", ".mp3")
 

@@ -17,7 +17,6 @@ matrices); O(B^2 d + B^3) like the reference."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

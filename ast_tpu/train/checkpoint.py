@@ -13,9 +13,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 import orbax.checkpoint as ocp
 
 from ast_tpu.train.state import TrainState

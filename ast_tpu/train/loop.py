@@ -14,11 +14,9 @@ import time
 from typing import Callable, Iterable, Optional
 
 import jax
-import numpy as np
 
 from ast_tpu.config import Config
 from ast_tpu.data.pipeline import prefetch
-from ast_tpu.models.style_encoder import class_prototypes as proto_fn
 from ast_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from ast_tpu.train.state import Models, TrainState, init_state
 from ast_tpu.train.step import curriculum_scalars, make_train_step
@@ -96,6 +94,7 @@ def train(
 
     mlog = MetricLogger(metrics_dir)
     last_protos = None
+    proto_fn = None
     for epoch in range(start_epoch, cfg.train.num_epochs):
         curr = curriculum_scalars(cfg, epoch)
         t0 = time.perf_counter()
@@ -124,10 +123,12 @@ def train(
 
         if checkpoint_dir and (epoch + 1) % cfg.train.checkpoint_every == 0:
             # persist class prototypes computed from the last batch's styles
-            from ast_tpu.models import StyleEncoder
+            if proto_fn is None:
+                from ast_tpu.models import StyleEncoder
 
-            style = StyleEncoder(cfg.model)
-            style_emb, protos = style.apply(state.style, x, labels)
+                style = StyleEncoder(cfg.model)
+                proto_fn = jax.jit(lambda v, xx, ll: style.apply(v, xx, ll)[1])
+            protos = proto_fn(state.style, x, labels)
             last_protos = protos
             path = save_checkpoint(checkpoint_dir, epoch + 1, state, protos)
             log(f"checkpoint saved: {path}")
