@@ -160,3 +160,24 @@ def test_prefetcher_yields_everything_and_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetch(bad))
+
+
+def test_native_decodes_float32_wav(tmp_path, rng):
+    """The native decoder handles IEEE-float wavs (format 3), which the
+    stdlib `wave` fallback cannot."""
+    import struct
+
+    x = np.clip(0.4 * rng.standard_normal(500), -1, 1).astype(np.float32)
+    p = str(tmp_path / "f32.wav")
+    data = x.tobytes()
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000,
+                                      8000 * 4, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+    lib = _native()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    y, sr = read_wav(p)
+    assert sr == 8000 and y.shape == (1, 500)
+    np.testing.assert_allclose(y[0], x, atol=1e-6)
