@@ -89,13 +89,16 @@ def process_test_set_with_dataloader(
 
     content = ContentEncoder(cfg.model)
     decoder = bundle.models.decoder
+    # whole-batch device work: one content pass + one batched AR decode + a
+    # vmapped first-window ISTFT per dataloader batch (the reference loops
+    # per sample with batch 1)
     content_apply = jax.jit(lambda v, s: content.apply(v, s))
     ar_decode = jax.jit(
         lambda v, c, e, S: autoregressive_decode(decoder, v, c, e, S),
         static_argnames=("S",))
-    istft_first = jax.jit(
+    istft_first_batch = jax.jit(jax.vmap(
         lambda w: istft_ri(w[0], n_fft=cfg.audio.n_fft,
-                           hop_length=cfg.audio.hop_length))
+                           hop_length=cfg.audio.hop_length)))
 
     # class prototypes: from checkpoint when available, else bootstrapped from
     # the first batch as the reference does (evaluation_reconstruction.py:124-155)
@@ -111,23 +114,21 @@ def process_test_set_with_dataloader(
                 cfg, bundle.state.style, sections[0], sections[half])
             log("Generated class embeddings from first batch")
 
+        # device work for the WHOLE batch
+        content_emb = content_apply(bundle.state.content, sections)
+        class_embs = class_embeddings[labels]  # (B, d) own-class prototypes
+        stft_sections = sections[:, :, :, :, : cfg.model.stft_bins]
+        S = stft_sections.shape[1]
+        recon = ar_decode(bundle.state.decoder, content_emb, class_embs, S)
+        # first window only, quirk #3 (evaluation_reconstruction.py:161-189)
+        recon_audios = np.asarray(istft_first_batch(recon))
+        orig_audios = np.asarray(istft_first_batch(stft_sections))
+
         for i in range(sections.shape[0]):
-            sample = sections[i : i + 1]
             label = int(labels[i])
             source_class = "piano" if label == 0 else "violin"
-
-            content_emb = content_apply(bundle.state.content, sample)
-            class_emb = class_embeddings[label][None]
-            stft_sections = sample[:, :, :, :, : cfg.model.stft_bins]
-            S = stft_sections.shape[1]
-
-            recon = ar_decode(bundle.state.decoder, content_emb, class_emb, S)
-            # first window only, quirk #3 (evaluation_reconstruction.py:161-189)
-            recon_audio = np.asarray(istft_first(recon[0]))
-            orig_audio = np.asarray(istft_first(stft_sections[0]))
-
             result = calculate_reconstruction_metrics(
-                orig_audio, recon_audio, cfg.audio.sample_rate)
+                orig_audios[i], recon_audios[i], cfg.audio.sample_rate)
             metrics[f"{source_class}_reconstruction"].append(result)
 
             out_dir = piano_out if source_class == "piano" else violin_out
