@@ -181,3 +181,19 @@ def test_native_decodes_float32_wav(tmp_path, rng):
     y, sr = read_wav(p)
     assert sr == 8000 and y.shape == (1, 500)
     np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+
+def test_extract_features_jit_matches_eager(rng):
+    import jax.numpy as jnp
+
+    from ast_tpu.dsp.features import extract_features, extract_features_jit
+    from ast_tpu.dsp.norm import FeatureStats
+
+    cfg = TINY_AUDIO
+    st = FeatureStats.identity(cfg.stft_bins, cfg.cqt_bins)
+    wav = jnp.asarray(rng.standard_normal(cfg.clip_samples).astype(np.float32))
+    args = (wav, jnp.asarray(st.stft_mean), jnp.asarray(st.stft_std),
+            jnp.asarray(st.cqt_mean), jnp.asarray(st.cqt_std))
+    a = np.asarray(extract_features(*args, cfg=cfg))
+    b = np.asarray(extract_features_jit(*args, cfg=cfg))
+    np.testing.assert_allclose(a, b, atol=1e-5)
