@@ -114,11 +114,14 @@ def process_test_set(
     import jax
 
     @functools.partial(jax.jit, static_argnames=("total_frames",))
-    def windows_to_audio(sample, total_frames: int):
-        full = sections2spectrogram(sample, total_frames, overlap)
-        stft_spec = full[:, :, : cfg.model.stft_bins]
-        return istft_ri(stft_spec, n_fft=cfg.audio.n_fft,
-                        hop_length=cfg.audio.hop_length)
+    def windows_to_audio_batch(samples, total_frames: int):
+        def one(sample):
+            full = sections2spectrogram(sample, total_frames, overlap)
+            stft_spec = full[:, :, : cfg.model.stft_bins]
+            return istft_ri(stft_spec, n_fft=cfg.audio.n_fft,
+                            hop_length=cfg.audio.hop_length)
+
+        return jax.vmap(one)(samples)
 
     class_embeddings = bundle.class_prototypes
     pipeline = None
@@ -137,19 +140,23 @@ def process_test_set(
 
         B = sections.shape[0]
         half = B // 2
+        # batched device work: reassemble all waveforms, then transfer the
+        # whole batch toward each sample's opposite class in ONE device call
+        # (the reference loops per sample, evaluation_style_transfer.py:289)
+        n_sections, _, wind, _ = sections.shape[1:]
+        total_frames = (n_sections - 1) * (wind - overlap) + wind
+        waveforms = np.asarray(windows_to_audio_batch(sections, total_frames))
+        labels_np = np.asarray(labels)
+        generated_all = pipeline.process_audio_batch(waveforms, 1 - labels_np,
+                                                     overlap=overlap)
+
         for i in range(B):
-            sample = sections[i]  # (S, 2, W, F)
-            src_label = int(labels[i])
+            src_label = int(labels_np[i])
             tgt_label = 1 - src_label
             direction = ("piano_to_violin" if src_label == 0
                          else "violin_to_piano")
-
-            # windows -> full spectrogram (eval overlap) -> STFT slice -> audio
-            n_sections, _, wind, _ = sample.shape
-            total_frames = (n_sections - 1) * (wind - overlap) + wind
-            waveform = np.asarray(windows_to_audio(sample, total_frames))
-
-            generated = pipeline.process_audio(waveform, tgt_label)
+            waveform = waveforms[i]
+            generated = generated_all[i]
             reference = _random_reference(test_dir, ID_TO_NAME[tgt_label],
                                           cfg, rng, log=log)
 
