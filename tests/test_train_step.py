@@ -21,11 +21,21 @@ def _batch(rng, cfg, B=4, S=3):
     return jnp.asarray(x), jnp.asarray(labels)
 
 
-def test_train_step_runs_and_updates(rng):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shared_step():
+    """One compiled train step shared by the basic tests (compiles dominate
+    suite time)."""
     cfg = TINY_CFG
     models = Models.create(cfg)
+    return cfg, models, make_train_step(cfg, models)
+
+
+def test_train_step_runs_and_updates(rng, shared_step):
+    cfg, models, step = shared_step
     state = init_state(cfg, models, jax.random.PRNGKey(0), sections_per_clip=3)
-    step = make_train_step(cfg, models)
     x, labels = _batch(rng, cfg)
     curr = {k: jnp.asarray(v) for k, v in
             {"contrastive": 1.0, "hsic": 1.0, "adversarial": 1.0}.items()}
@@ -49,11 +59,9 @@ def test_train_step_runs_and_updates(rng):
     assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old_bs, new_bs))
 
 
-def test_two_steps_progress(rng):
-    cfg = TINY_CFG
-    models = Models.create(cfg)
+def test_two_steps_progress(rng, shared_step):
+    cfg, models, step = shared_step
     state = init_state(cfg, models, jax.random.PRNGKey(1), sections_per_clip=3)
-    step = make_train_step(cfg, models)
     x, labels = _batch(rng, cfg)
     curr = {"contrastive": jnp.asarray(0.0), "hsic": jnp.asarray(0.0),
             "adversarial": jnp.asarray(0.0)}
