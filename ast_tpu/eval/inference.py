@@ -38,7 +38,15 @@ NAME_TO_ID = {"piano": 0, "violin": 1}
 
 @dataclasses.dataclass
 class StyleTransferPipeline:
-    """Bundles the modules + trained variables + class prototypes."""
+    """Bundles the modules + trained variables + class prototypes.
+
+    `stats` (optional FeatureStats) enables z-score normalization of the
+    inference features with the training statistics. The reference NEVER
+    normalizes at inference (quirk: process_audio applies no stats even
+    though training normalized, evaluation_style_transfer.py:135-140);
+    default None preserves that. A model trained on normalized features
+    performs better with matching inference normalization — pass the target
+    instrument's stats (or unified stats) to enable it."""
 
     cfg: Config
     content: ContentEncoder
@@ -46,10 +54,11 @@ class StyleTransferPipeline:
     content_vars: Dict
     decoder_vars: Dict
     class_embeddings: jnp.ndarray  # (num_classes, d)
+    stats: Optional[object] = None  # FeatureStats
 
     @classmethod
     def from_variables(cls, cfg: Config, content_vars, decoder_vars,
-                       class_embeddings, codec: str = "linear"):
+                       class_embeddings, codec: str = "linear", stats=None):
         return cls(
             cfg=cfg,
             content=ContentEncoder(cfg.model),
@@ -57,6 +66,7 @@ class StyleTransferPipeline:
             content_vars=content_vars,
             decoder_vars=decoder_vars,
             class_embeddings=jnp.asarray(class_embeddings),
+            stats=stats,
         )
 
     @classmethod
@@ -103,7 +113,14 @@ class StyleTransferPipeline:
             s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length)
             c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
                        hop_length=a.hop_length)
-            feats = concat_stft_cqt(s, c)  # (2, T, 597), unnormalized
+            if self.stats is not None:  # opt-in; reference never normalizes
+                from ast_tpu.dsp.norm import normalize
+
+                s = normalize(s, jnp.asarray(self.stats.stft_mean),
+                              jnp.asarray(self.stats.stft_std))
+                c = normalize(c, jnp.asarray(self.stats.cqt_mean),
+                              jnp.asarray(self.stats.cqt_std))
+            feats = concat_stft_cqt(s, c)
             sections = get_overlap_windows(
                 feats, window_size=a.window_size, overlap_frames=overlap)
             S = sections.shape[0]
@@ -141,6 +158,13 @@ class StyleTransferPipeline:
                 s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length)
                 c = cqt_ri(w, sr=a.sample_rate, n_bins=a.cqt_bins,
                            hop_length=a.hop_length)
+                if self.stats is not None:  # opt-in; reference never normalizes
+                    from ast_tpu.dsp.norm import normalize
+
+                    s = normalize(s, jnp.asarray(self.stats.stft_mean),
+                                  jnp.asarray(self.stats.stft_std))
+                    c = normalize(c, jnp.asarray(self.stats.cqt_mean),
+                                  jnp.asarray(self.stats.cqt_std))
                 feats = concat_stft_cqt(s, c)
                 return feats, get_overlap_windows(
                     feats, window_size=a.window_size, overlap_frames=overlap)

@@ -124,3 +124,30 @@ def test_pcm16_single_clip_input(audio_clip):
     ref = pipe.process_audio(q.astype(np.float32), 1)
     out = pipe.process_audio(wav, 1, pcm16_in=True)
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_inference_normalization_option(audio_clip):
+    import dataclasses as dc
+
+    from ast_tpu.dsp.norm import FeatureStats
+
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    raw = pipe.transfer(wav, "violin")
+
+    stats = FeatureStats.identity(TINY_AUDIO.stft_bins, TINY_AUDIO.cqt_bins)
+    # identity stats (mean 0, std 1): output must differ only by the eps in
+    # the z-score denominator (tiny)
+    pipe_id = dc.replace(pipe, stats=stats)
+    normed = pipe_id.transfer(wav, "violin")
+    np.testing.assert_allclose(normed, raw, atol=1e-3, rtol=1e-3)
+
+    # non-trivial stats must change the output
+    stats2 = FeatureStats(
+        stft_mean=np.full((2, TINY_AUDIO.stft_bins), 0.5, np.float32),
+        stft_std=np.full((2, TINY_AUDIO.stft_bins), 2.0, np.float32),
+        cqt_mean=np.zeros((2, TINY_AUDIO.cqt_bins), np.float32),
+        cqt_std=np.ones((2, TINY_AUDIO.cqt_bins), np.float32))
+    pipe2 = dc.replace(pipe, stats=stats2)
+    changed = pipe2.transfer(wav, "violin")
+    assert not np.allclose(changed, raw, atol=1e-3)
