@@ -21,6 +21,10 @@ def main():
     p.add_argument("--reconstruct", action="store_true",
                    help="same-class reconstruction instead of transfer "
                         "(notebook cell 5 behavior)")
+    p.add_argument("--normalize", metavar="STATS_DIR", default=None,
+                   help="normalize inference features with training stats "
+                        "from this directory (the reference never does; see "
+                        "PARITY.md quirks)")
     args = p.parse_args()
 
     import numpy as np
@@ -40,8 +44,13 @@ def main():
 
         protos = jax.random.normal(jax.random.PRNGKey(0),
                                    (2, cfg.model.d_model))
+    stats = None
+    if args.normalize:
+        from ast_tpu.dsp.norm import load_instrument_stats
+
+        stats = load_instrument_stats(args.normalize, use_separate_stats=False)[0]
     pipe = StyleTransferPipeline.from_variables(
-        cfg, bundle.state.content, bundle.state.decoder, protos)
+        cfg, bundle.state.content, bundle.state.decoder, protos, stats=stats)
 
     os.makedirs(args.output_dir, exist_ok=True)
     target_id = NAME_TO_ID[args.target]
