@@ -34,6 +34,12 @@ def _should_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
+# The kernels keep the whole padded frame array resident in VMEM (one block).
+# Past this size the XLA scatter path wins by not needing residency; the
+# istft shape for a 10 s clip is ~3.5 MB, a ~3 min clip is the crossover.
+VMEM_FALLBACK_BYTES = 64 * 1024 * 1024
+
+
 def _ola_kernel(frames_ref, out_ref, *, hop: int, taps: int, n_frames: int):
     i = pl.program_id(0)
     acc = jnp.zeros_like(out_ref)  # (1, hop, F)
@@ -59,6 +65,8 @@ def overlap_add(frames: jnp.ndarray, hop: int,
     S, W, F = frames.shape
     taps = -(-W // hop)  # ceil
     out_len = hop * (S - 1) + W
+    if S * taps * hop * F * frames.dtype.itemsize > VMEM_FALLBACK_BYTES:
+        return overlap_add_reference(frames, hop)
 
     # pad frame rows to taps*hop (static slices) and output to a tile multiple
     padded = jnp.pad(frames, ((0, 0), (0, taps * hop - W), (0, 0)))
@@ -107,6 +115,8 @@ def overlap_add_waveform(frames: jnp.ndarray, hop: int,
     S, W = frames.shape
     taps = -(-W // hop)
     out_len = hop * (S - 1) + W
+    if S * taps * hop * frames.dtype.itemsize > VMEM_FALLBACK_BYTES:
+        return overlap_add_reference(frames[:, :, None], hop)[:, 0]
     padded = jnp.pad(frames, ((0, 0), (0, taps * hop - W)))
     num_tiles = S - 1 + taps
     num_steps = -(-num_tiles // _ROWS_PER_STEP)
@@ -124,9 +134,11 @@ def overlap_add_waveform(frames: jnp.ndarray, hop: int,
 
 
 def overlap_add_reference(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
-    """jnp scatter-add formulation (the XLA path), for testing/benchmarks."""
+    """jnp scatter-add formulation (the XLA path), for testing/benchmarks and
+    as the large-input fallback. Indices are built on-device (a numpy index
+    matrix would be embedded in the HLO — 100MB+ for minute-long clips)."""
     S, W, F = frames.shape
     out_len = hop * (S - 1) + W
-    idx = (np.arange(S)[:, None] * hop + np.arange(W)[None, :]).reshape(-1)
+    idx = (jnp.arange(S)[:, None] * hop + jnp.arange(W)[None, :]).reshape(-1)
     out = jnp.zeros((out_len, F), frames.dtype)
     return out.at[idx, :].add(frames.reshape(S * W, F))
