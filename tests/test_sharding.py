@@ -117,3 +117,15 @@ def test_mesh_aware_train_loop(rng, tmp_path):
     state = train(cfg, lambda e: balanced_batches(ds, 8, epoch=e),
                   sections_per_clip=S, mesh=mesh)
     assert int(state.step) >= 1
+
+
+def test_distributed_helpers_single_process():
+    from ast_tpu.parallel import initialize_distributed, local_batch_slice, process_info
+
+    initialize_distributed()  # no-op single process
+    idx, count = process_info()
+    assert idx == 0 and count == 1
+    assert local_batch_slice(8) == slice(0, 8)
+    import pytest
+    with pytest.raises(ValueError):
+        local_batch_slice(7) if count == 2 else (_ for _ in ()).throw(ValueError)
