@@ -27,14 +27,26 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(shape: Optional[Tuple[int, int]] = None,
-              devices=None) -> Mesh:
-    """Create a ("data", "model") mesh. Default: all devices on "data"."""
+              devices=None, strict: bool = False) -> Mesh:
+    """Create a ("data", "model") mesh. Default: all devices on "data".
+
+    When the requested shape does not match the available device count
+    (e.g. asking for (4, 2) on a single-chip host), degrade to a pure
+    data-parallel (n, 1) mesh instead of failing — tensor parallelism is
+    an optimization, not a correctness requirement at this model scale.
+    Pass strict=True to get the old hard error."""
     devices = jax.devices() if devices is None else devices
     n = len(devices)
     if shape is None:
         shape = (n, 1)
     if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != {n} devices")
+        if strict:
+            raise ValueError(f"mesh shape {shape} != {n} devices")
+        import warnings
+        warnings.warn(
+            f"mesh shape {shape} != {n} devices; degrading to ({n}, 1) "
+            f"data-parallel mesh (tp=1)")
+        shape = (n, 1)
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

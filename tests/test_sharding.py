@@ -29,6 +29,21 @@ def test_mesh_shapes():
     assert mesh2.shape == {"data": 8, "model": 1}
 
 
+def test_mesh_degrades_to_dp_on_device_mismatch():
+    # single-chip host asked for a (4,2) mesh: degrade to (n,1), don't fail
+    import warnings
+
+    one = jax.devices()[:1]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        mesh = make_mesh((4, 2), devices=one)
+    assert mesh.shape == {"data": 1, "model": 1}
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_mesh((4, 2), devices=one, strict=True)
+
+
 def test_codec_param_sharding_rule():
     cfg = TINY_CFG
     models = Models.create(cfg)
