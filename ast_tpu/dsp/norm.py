@@ -68,6 +68,16 @@ class FeatureStats:
                  cqt_mean=self.cqt_mean, cqt_std=self.cqt_std)
 
 
+def packaged_stats_dir() -> str:
+    """Directory of the stats artifacts shipped with the package — converted
+    copies of the reference's trained normalization statistics
+    (reference: train_set_stats/stats_stft_cqt_{piano,violin}.npz +
+    stats_unified_stft_cqt.npz), so default eval/training uses the
+    reference's actual normalization out of the box."""
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "stats")
+
+
 def load_instrument_stats(
     stats_dir: Optional[str],
     use_separate_stats: bool = True,
@@ -77,14 +87,29 @@ def load_instrument_stats(
     warn=print,
 ) -> dict:
     """Load {0: piano stats, 1: violin stats} with the reference's fallback
-    chain (dataloader.py:41-89): separate npz files -> unified npz -> dummy."""
+    chain (dataloader.py:41-89): separate npz files -> unified npz -> dummy —
+    extended with a packaged-artifact fallback (the reference's shipped stats,
+    re-saved under ast_tpu/stats/) tried before degrading to dummy."""
     dummy = lambda: {0: FeatureStats.identity(stft_bins, cqt_bins),
                      1: FeatureStats.identity(stft_bins, cqt_bins)}
-    if use_separate_stats and stats_dir is not None:
-        piano_p = os.path.join(stats_dir, "stats_stft_cqt_piano.npz")
-        violin_p = os.path.join(stats_dir, "stats_stft_cqt_violin.npz")
-        if os.path.exists(piano_p) and os.path.exists(violin_p):
-            return {0: FeatureStats.from_npz(piano_p), 1: FeatureStats.from_npz(violin_p)}
+    # packaged fallback only applies at the reference's full feature size and
+    # only when the caller asked for stats (stats_dir=None means "none")
+    packaged = (packaged_stats_dir()
+                if stft_bins == 513 and cqt_bins == 84 else None)
+    if use_separate_stats:
+        if stats_dir is None:
+            return dummy()
+        for d in (stats_dir, packaged):
+            if d is None:
+                continue
+            piano_p = os.path.join(d, "stats_stft_cqt_piano.npz")
+            violin_p = os.path.join(d, "stats_stft_cqt_violin.npz")
+            if os.path.exists(piano_p) and os.path.exists(violin_p):
+                if d is not stats_dir:
+                    warn(f"Warning: separate stats not found under {stats_dir}; "
+                         f"using packaged reference stats from {d}.")
+                return {0: FeatureStats.from_npz(piano_p),
+                        1: FeatureStats.from_npz(violin_p)}
         warn(f"Warning: separate stats not found under {stats_dir}; using dummy normalization.")
         return dummy()
 
@@ -94,5 +119,12 @@ def load_instrument_stats(
     if path is not None and os.path.exists(path):
         s = FeatureStats.from_npz(path)
         return {0: s, 1: s}
+    if path is not None and packaged is not None:
+        packaged_uni = os.path.join(packaged, "stats_unified_stft_cqt.npz")
+        if os.path.exists(packaged_uni):
+            warn(f"Warning: combined stats file {path} not found; "
+                 f"using packaged reference stats {packaged_uni}.")
+            s = FeatureStats.from_npz(packaged_uni)
+            return {0: s, 1: s}
     warn(f"Warning: combined stats file {path} not found; using dummy normalization.")
     return dummy()

@@ -134,11 +134,19 @@ def test_balanced_batches_contract(tmp_path):
 
 
 def test_stats_fallback_chain(tmp_path, capsys):
+    # at full feature size a missing dir now falls back to the PACKAGED
+    # reference stats (ast_tpu/stats/) before degrading to dummy
     stats = load_instrument_stats(str(tmp_path), use_separate_stats=True)
     out = capsys.readouterr().out
-    assert "dummy normalization" in out
+    assert "packaged reference stats" in out
     assert stats[0].stft_mean.shape == (2, 513)
-    np.testing.assert_array_equal(stats[0].stft_std, np.ones((2, 513)))
+    assert not np.allclose(stats[0].stft_std, np.ones((2, 513)))
+    # at non-reference feature sizes the dummy fallback is unchanged
+    tiny = load_instrument_stats(str(tmp_path), use_separate_stats=True,
+                                 stft_bins=24, cqt_bins=8)
+    out = capsys.readouterr().out
+    assert "dummy normalization" in out
+    np.testing.assert_array_equal(tiny[0].stft_std, np.ones((2, 24)))
 
 
 def test_dummy_batches():

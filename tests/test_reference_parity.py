@@ -1,0 +1,342 @@
+"""End-to-end numerical parity against the ACTUAL reference code.
+
+Unlike tests/test_compat.py (whose torch oracles are hand-assembled from torch
+built-ins with the reference's parameter names), these tests import the real
+modules from /root/reference — style_encoder.py, content_encoder.py,
+SimpleDecoder_TransformerOnly.py, discriminator.py, losses.py — instantiate
+them at FULL size, export their state_dicts, convert via
+ast_tpu.compat.torch_import, and assert forward parity on fixed inputs in
+eval mode. This retires the oracle-drift risk: if the converter or any of our
+modules diverge from the reference's math, these fail.
+
+The reference's shipped normalization stats artifacts
+(train_set_stats/stats_stft_cqt_{piano,violin}.npz) are also loaded and
+checked against the reference's `normalize` semantics (dataloader.py:9-13).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available")
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+import content_encoder as ref_content_mod  # noqa: E402
+import discriminator as ref_disc_mod  # noqa: E402
+import losses as ref_losses  # noqa: E402
+import SimpleDecoder_TransformerOnly as ref_decoder_mod  # noqa: E402
+import style_encoder as ref_style_mod  # noqa: E402
+
+from ast_tpu.compat.torch_import import (  # noqa: E402
+    convert_content_encoder,
+    convert_discriminator,
+    convert_simple_decoder,
+    convert_style_encoder,
+)
+from ast_tpu.config import LossWeights, ModelConfig  # noqa: E402
+from ast_tpu.dsp.norm import FeatureStats, load_instrument_stats, normalize  # noqa: E402
+from ast_tpu.losses.adversarial import adversarial_loss  # noqa: E402
+from ast_tpu.losses.contrastive import infonce_loss, margin_loss  # noqa: E402
+from ast_tpu.losses.hsic import disentanglement_loss  # noqa: E402
+from ast_tpu.losses.reconstruction import compute_comprehensive_loss  # noqa: E402
+from ast_tpu.models import ContentEncoder, Decoder, Discriminator, StyleEncoder  # noqa: E402
+from ast_tpu.models.decoder import autoregressive_decode  # noqa: E402
+
+FULL = ModelConfig()  # full reference size: d=256, 6 CNN blocks, 4 layers
+
+
+def _converge_spectral(model: torch.nn.Module, iters: int = 80) -> None:
+    """Run torch's spectral-norm power iteration to convergence in place.
+
+    torch stores (weight_u, weight_v) and in eval mode uses them as-is; our
+    SNConv does one Rayleigh refinement from the imported u. The two agree
+    exactly at the power-iteration fixed point, so converge torch first
+    (same recipe torch itself applies once per train-mode forward)."""
+    with torch.no_grad():
+        for m in model.modules():
+            if hasattr(m, "weight_orig"):
+                mat = m.weight_orig.reshape(m.weight_orig.shape[0], -1)
+                u, v = m.weight_u.clone(), m.weight_v.clone()
+                for _ in range(iters):
+                    v = tF.normalize(mat.t() @ u, dim=0)
+                    u = tF.normalize(mat @ v, dim=0)
+                m.weight_u.copy_(u)
+                m.weight_v.copy_(v)
+
+
+def _sd_numpy(model: torch.nn.Module):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# module-level parity (the BASELINE "forward-pass parity" milestone)
+# ---------------------------------------------------------------------------
+
+
+def test_style_encoder_full_parity(rng):
+    torch.manual_seed(10)
+    ref = ref_style_mod.StyleEncoder()  # defaults = full size
+    _converge_spectral(ref)
+    ref.eval()
+
+    x = rng.standard_normal((2, 2, 2, 287, 597)).astype(np.float32)
+    labels = np.array([0, 1])
+    with torch.no_grad():
+        style_ref, class_ref = ref(torch.from_numpy(x), torch.from_numpy(labels))
+
+    variables = convert_style_encoder(_sd_numpy(ref))
+    ours = StyleEncoder(FULL)
+    style, cls = ours.apply(variables, jnp.asarray(x), jnp.asarray(labels))
+
+    np.testing.assert_allclose(np.asarray(style), style_ref.numpy(),
+                               atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(cls), class_ref.numpy(),
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_content_encoder_full_parity(rng):
+    torch.manual_seed(11)
+    ref = ref_content_mod.ContentEncoder()
+    _converge_spectral(ref)
+    ref.eval()
+
+    x = rng.standard_normal((2, 2, 2, 287, 597)).astype(np.float32)
+    with torch.no_grad():
+        content_ref = ref(torch.from_numpy(x))
+
+    variables = convert_content_encoder(_sd_numpy(ref))
+    ours = ContentEncoder(FULL)
+    content = ours.apply(variables, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(content), content_ref.numpy(),
+                               atol=5e-4, rtol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def decoder_pair():
+    """One full-size reference Decoder (dropout=0 so train-mode teacher
+    forcing is deterministic) + the converted variables, shared across the
+    two decoder tests (the 151M-param module is expensive to build)."""
+    torch.manual_seed(12)
+    ref = ref_decoder_mod.Decoder(dropout=0.0)
+    variables = convert_simple_decoder(_sd_numpy(ref))
+    ours = Decoder(FULL, codec="linear")
+    return ref, ours, variables
+
+
+def test_simple_decoder_teacher_forced_parity(decoder_pair, rng):
+    ref, ours, variables = decoder_pair
+    B, S = 2, 3
+    content = rng.standard_normal((B, S, 256)).astype(np.float32)
+    class_emb = rng.standard_normal((B, 256)).astype(np.float32)
+    y = rng.standard_normal((B, S, 2, 287, 513)).astype(np.float32)
+
+    ref.train()  # reference routes to forward_training only when training
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(content), torch.from_numpy(class_emb),
+                      y=torch.from_numpy(y))
+    ref.eval()
+
+    out = ours.apply(variables, jnp.asarray(content), jnp.asarray(class_emb),
+                     jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_simple_decoder_autoregressive_parity(decoder_pair, rng):
+    """Our lax.scan KV-cache decode vs the reference's O(S^2) re-run-the-
+    prefix inference loop (SimpleDecoder_TransformerOnly.py:102-125) — the
+    strongest equivalence claim for the TPU-native decode path."""
+    ref, ours, variables = decoder_pair
+    B, S = 2, 4
+    content = rng.standard_normal((B, S, 256)).astype(np.float32)
+    class_emb = rng.standard_normal((B, 256)).astype(np.float32)
+
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(content), torch.from_numpy(class_emb),
+                      target_length=S)
+
+    out = autoregressive_decode(ours, variables, jnp.asarray(content),
+                                jnp.asarray(class_emb), S)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               atol=1e-3, rtol=5e-3)
+
+
+def test_discriminator_full_parity(rng):
+    torch.manual_seed(13)
+    ref = ref_disc_mod.Discriminator()
+    ref.eval()
+    x = rng.standard_normal((6, 256)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x))
+    variables = convert_discriminator(_sd_numpy(ref))
+    out = Discriminator(FULL).apply({"params": variables["params"]},
+                                    jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# loss-level parity against the real losses.py / decoder loss
+# ---------------------------------------------------------------------------
+
+
+def test_infonce_loss_reference_parity(rng):
+    emb = rng.standard_normal((6, 64)).astype(np.float32)
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    ref = ref_losses.infoNCE_loss(torch.from_numpy(emb),
+                                  torch.from_numpy(labels)).item()
+    ours = float(infonce_loss(jnp.asarray(emb), jnp.asarray(labels)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_margin_loss_reference_parity(rng):
+    emb = rng.standard_normal((2, 64)).astype(np.float32)
+    ref = ref_losses.margin_loss(torch.from_numpy(emb)).item()
+    ours = float(margin_loss(jnp.asarray(emb)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+    # also the C>2 general case the reference was written for
+    emb4 = rng.standard_normal((4, 16)).astype(np.float32)
+    ref4 = ref_losses.margin_loss(torch.from_numpy(emb4)).item()
+    ours4 = float(margin_loss(jnp.asarray(emb4)))
+    np.testing.assert_allclose(ours4, ref4, atol=1e-5, rtol=1e-5)
+
+
+def test_adversarial_loss_reference_parity(rng):
+    torch.manual_seed(14)
+    disc_ref = ref_disc_mod.Discriminator()
+    disc_ref.eval()
+    variables = convert_discriminator(_sd_numpy(disc_ref))
+    disc_ours = Discriminator(FULL)
+    discriminate = lambda e: disc_ours.apply(
+        {"params": variables["params"]}, e)
+
+    B, S, d = 6, 3, 256
+    style = rng.standard_normal((B, d)).astype(np.float32)
+    class_emb = rng.standard_normal((2, d)).astype(np.float32)
+    content = rng.standard_normal((B, S, d)).astype(np.float32)
+    labels = np.array([0, 0, 0, 1, 1, 1])
+
+    for for_disc in (True, False):
+        with torch.no_grad():
+            dl_ref, gl_ref = ref_losses.adversarial_loss(
+                torch.from_numpy(style), torch.from_numpy(class_emb),
+                torch.from_numpy(content), disc_ref, torch.from_numpy(labels),
+                compute_for_discriminator=for_disc)
+        dl, gl = adversarial_loss(
+            jnp.asarray(style), jnp.asarray(class_emb), jnp.asarray(content),
+            discriminate, jnp.asarray(labels), compute_for_discriminator=for_disc)
+        np.testing.assert_allclose(float(dl), dl_ref.item(), atol=1e-5, rtol=1e-4)
+        if for_disc:
+            assert gl_ref is None and gl is None
+        else:
+            np.testing.assert_allclose(float(gl), gl_ref.item(),
+                                       atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_hsic", [True, False])
+def test_disentanglement_loss_reference_parity(rng, use_hsic):
+    B, d = 6, 32
+    style = rng.standard_normal((B, d)).astype(np.float32)
+    content = rng.standard_normal((B, d)).astype(np.float32)
+    ref = ref_losses.disentanglement_loss(
+        torch.from_numpy(style), torch.from_numpy(content),
+        use_hsic=use_hsic).item()
+    ours = float(disentanglement_loss(jnp.asarray(style), jnp.asarray(content),
+                                      use_hsic=use_hsic))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_comprehensive_loss_reference_parity(rng):
+    out = rng.standard_normal((2, 3, 2, 32, 24)).astype(np.float32)
+    tgt = rng.standard_normal((2, 3, 2, 32, 24)).astype(np.float32)
+    ref = ref_decoder_mod.compute_comprehensive_loss(
+        torch.from_numpy(out), torch.from_numpy(tgt))
+    ours = compute_comprehensive_loss(jnp.asarray(out), jnp.asarray(tgt),
+                                      LossWeights())
+    for key in ("total_loss", "mse_loss", "mag_loss", "phase_loss",
+                "temporal_loss", "spectral_loss"):
+        np.testing.assert_allclose(float(ours[key]), ref[key].item(),
+                                   atol=1e-5, rtol=1e-4, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# the reference's shipped normalization stats artifacts
+# ---------------------------------------------------------------------------
+
+REF_STATS_DIR = os.path.join(REFERENCE, "train_set_stats")
+
+
+def test_reference_stats_artifacts_load():
+    stats = load_instrument_stats(REF_STATS_DIR, use_separate_stats=True)
+    for cid in (0, 1):
+        s = stats[cid]
+        assert s.stft_mean.shape == (2, 513) and s.cqt_mean.shape == (2, 84)
+        assert np.isfinite(s.concat_mean).all()
+        # std[1, 0] is exactly 0 in the real artifacts (imag part of the DC
+        # bin is identically zero); the reference's eps=1e-8 covers it
+        assert (s.concat_std >= 0).all()
+        assert (s.concat_std > 0).mean() > 0.99
+    # piano and violin stats are genuinely different artifacts
+    assert not np.allclose(stats[0].stft_mean, stats[1].stft_mean)
+    # unified fallback path reads the third artifact
+    uni = load_instrument_stats(REF_STATS_DIR, use_separate_stats=False)
+    assert np.allclose(uni[0].stft_mean, uni[1].stft_mean)
+
+
+def test_packaged_stats_match_reference_artifacts():
+    """The copies shipped under ast_tpu/stats/ must be bit-identical to the
+    reference's train_set_stats artifacts, and the loader must fall back to
+    them when the requested dir is missing (full feature size only)."""
+    from ast_tpu.dsp.norm import packaged_stats_dir
+
+    for name in ("stats_stft_cqt_piano.npz", "stats_stft_cqt_violin.npz",
+                 "stats_unified_stft_cqt.npz"):
+        ref = FeatureStats.from_npz(os.path.join(REF_STATS_DIR, name))
+        ours = FeatureStats.from_npz(os.path.join(packaged_stats_dir(), name))
+        np.testing.assert_array_equal(ours.concat_mean, ref.concat_mean)
+        np.testing.assert_array_equal(ours.concat_std, ref.concat_std)
+
+    got = load_instrument_stats("/nonexistent/dir", use_separate_stats=True,
+                                warn=lambda *_: None)
+    ref_piano = FeatureStats.from_npz(
+        os.path.join(REF_STATS_DIR, "stats_stft_cqt_piano.npz"))
+    np.testing.assert_array_equal(got[0].concat_mean, ref_piano.concat_mean)
+    # tiny feature sizes must NOT pick up the packaged full-size artifacts
+    tiny = load_instrument_stats("/nonexistent/dir", use_separate_stats=True,
+                                 stft_bins=24, cqt_bins=8, warn=lambda *_: None)
+    assert tiny[0].stft_mean.shape == (2, 24)
+    # stats_dir=None still means "explicitly none" -> dummy
+    none = load_instrument_stats(None, use_separate_stats=True,
+                                 warn=lambda *_: None)
+    assert (none[0].concat_mean == 0).all() and (none[0].concat_std == 1).all()
+
+
+def test_normalize_matches_reference_on_real_stats(rng):
+    """Golden check of `normalize` against the reference's 5-line torch
+    implementation (dataloader.py:9-13) using the ACTUAL shipped piano
+    stats npz — broadcast layout and eps placement must agree exactly."""
+    stats = FeatureStats.from_npz(
+        os.path.join(REF_STATS_DIR, "stats_stft_cqt_piano.npz"))
+    mean = np.asarray(stats.concat_mean, np.float32)  # (2, 597)
+    std = np.asarray(stats.concat_std, np.float32)
+
+    x = rng.standard_normal((2, 50, 597)).astype(np.float32) * 3.0 + 0.5
+    # reference normalize (dataloader.py:9-13): broadcast (2, F) over time
+    xt = torch.from_numpy(x)
+    ref = ((xt - torch.from_numpy(mean).unsqueeze(1))
+           / (torch.from_numpy(std).unsqueeze(1) + 1e-8)).numpy()
+    ours = np.asarray(normalize(jnp.asarray(x), jnp.asarray(mean),
+                                jnp.asarray(std)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-5)
