@@ -8,11 +8,27 @@ FFT frames (J. Brown 1991 frequency-domain method), so feature extraction is a
 gather + batched rFFT + one MXU matmul — fully jittable and TPU-resident.
 
 Filter construction mirrors librosa's wavelet basis (hann-windowed complex
-exponentials, Q = filter_scale / (2^(1/bins_per_octave) - 1), l1-normalized,
-`scale=True` division by sqrt(length)); the difference from librosa's default
-implementation is that all 84 bins are evaluated at the full sample rate
-instead of via recursive octave downsampling, which removes the resampling
-error of the recursive method (the two agree up to that resampling error).
+exponentials, Q = filter_scale / alpha, l1-normalized, `scale=True` division
+by sqrt(length)). Two evaluation algorithms are provided:
+
+* `algorithm="direct"` (default): all 84 bins evaluated at the full sample
+  rate — one batched rFFT + one MXU matmul, no resampling error. This is the
+  better-conditioned TPU-native formulation.
+* `algorithm="recursive"`: librosa's octave-by-octave recursion
+  (librosa vqt: process the top octave, downsample 2:1, repeat), implemented
+  with this repo's polyphase resampler. Used to quantify the direct-vs-
+  recursive delta against the reference's `librosa.cqt`
+  (reference: utilityFunctions.py:39-60). Known remaining deviations from
+  librosa: the 2:1 resampler is a hann^2-windowed sinc (torchaudio kernel)
+  rather than soxr_hq, and the basis is kept dense (librosa sparsifies at
+  quantile 0.01). Measured recursive-vs-direct deltas are recorded in
+  PARITY.md and pinned by tests/test_cqt.py.
+
+`alpha_mode` selects the filter-bandwidth convention: "librosa" matches
+librosa >=0.10 (`alpha = (2^(2/B)-1)/(2^(2/B)+1)`, the symmetric relative
+bandwidth); "legacy" is the pre-0.10 `alpha = 2^(1/B)-1`. The default is
+"librosa" since the reference's environment is a current librosa.
+
 Golden tests validate the frequency-domain path against a direct time-domain
 correlation and analytic pure-tone responses (tests/test_cqt.py).
 """
@@ -20,12 +36,14 @@ correlation and analytic pure-tone responses (tests/test_cqt.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ast_tpu.config import AudioConfig
+from ast_tpu.dsp.resample import resample
 from ast_tpu.dsp.stft import frame_signal
 
 _DEF = AudioConfig()
@@ -35,6 +53,17 @@ def cqt_frequencies(n_bins: int = _DEF.cqt_bins,
                     fmin: float = _DEF.cqt_fmin,
                     bins_per_octave: int = _DEF.cqt_bins_per_octave) -> np.ndarray:
     return fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+
+
+def cqt_alpha(bins_per_octave: int, mode: str = "librosa") -> float:
+    """Relative filter bandwidth. "librosa" = librosa >=0.10's symmetric form
+    ((r^2-1)/(r^2+1) with r = 2^(1/B)); "legacy" = the pre-0.10 2^(1/B)-1."""
+    if mode == "librosa":
+        r2 = 2.0 ** (2.0 / bins_per_octave)
+        return (r2 - 1.0) / (r2 + 1.0)
+    if mode == "legacy":
+        return 2.0 ** (1.0 / bins_per_octave) - 1.0
+    raise ValueError(f"unknown alpha_mode {mode!r}")
 
 
 def _float_hann(n: float) -> np.ndarray:
@@ -48,26 +77,15 @@ def _float_hann(n: float) -> np.ndarray:
     return w
 
 
-@functools.lru_cache(maxsize=4)
-def cqt_kernel(
-    sr: int = _DEF.sample_rate,
-    n_bins: int = _DEF.cqt_bins,
-    bins_per_octave: int = _DEF.cqt_bins_per_octave,
-    fmin: float = _DEF.cqt_fmin,
-    filter_scale: float = _DEF.cqt_filter_scale,
-) -> tuple:
-    """Build the frequency-domain CQT filterbank.
+def _build_fft_basis(freqs: np.ndarray, sr: float, Q: float) -> tuple:
+    """Hann-windowed complex wavelet filterbank in the frequency domain.
 
-    Returns (fft_basis (n_bins, n_fft//2+1) complex64, lengths (n_bins,),
-    n_fft). fft_basis already folds in the lengths/n_fft forward scaling."""
-    freqs = cqt_frequencies(n_bins, fmin, bins_per_octave)
-    alpha = 2.0 ** (1.0 / bins_per_octave) - 1.0
-    Q = filter_scale / alpha
+    Returns (fft_basis (n_filters, n_fft//2+1) complex64, lengths, n_fft);
+    fft_basis folds in the lengths/n_fft forward scaling."""
     lengths = Q * sr / freqs  # float lengths, longest first (lowest bin)
-
     n_fft = int(2 ** np.ceil(np.log2(lengths.max())))
 
-    basis = np.zeros((n_bins, n_fft), dtype=np.complex128)
+    basis = np.zeros((len(freqs), n_fft), dtype=np.complex128)
     for k, (ilen, freq) in enumerate(zip(lengths, freqs)):
         # complex exponential on the symmetric support, fractionally windowed
         t = np.arange(-(ilen // 2), ilen // 2, dtype=np.float64)
@@ -89,6 +107,31 @@ def cqt_kernel(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def cqt_kernel(
+    sr: int = _DEF.sample_rate,
+    n_bins: int = _DEF.cqt_bins,
+    bins_per_octave: int = _DEF.cqt_bins_per_octave,
+    fmin: float = _DEF.cqt_fmin,
+    filter_scale: float = _DEF.cqt_filter_scale,
+    alpha_mode: str = "librosa",
+) -> tuple:
+    """Full-rate frequency-domain CQT filterbank (direct algorithm).
+
+    Returns (fft_basis (n_bins, n_fft//2+1) complex64, lengths (n_bins,),
+    n_fft)."""
+    freqs = cqt_frequencies(n_bins, fmin, bins_per_octave)
+    Q = filter_scale / cqt_alpha(bins_per_octave, alpha_mode)
+    return _build_fft_basis(freqs, float(sr), Q)
+
+
+@functools.lru_cache(maxsize=64)
+def _octave_kernel(sr: float, freqs: tuple, Q: float) -> tuple:
+    """One octave's filterbank at its (downsampled) rate, for the recursive
+    algorithm."""
+    return _build_fft_basis(np.asarray(freqs, np.float64), sr, Q)
+
+
 def cqt(
     x: jnp.ndarray,
     sr: int = _DEF.sample_rate,
@@ -99,16 +142,27 @@ def cqt(
     filter_scale: float = _DEF.cqt_filter_scale,
     scale: bool = True,
     frame_chunk: int = 512,
+    algorithm: str = "direct",
+    alpha_mode: str = "librosa",
 ) -> jnp.ndarray:
     """Complex CQT of a (..., n_samples) signal -> (..., n_frames, n_bins).
 
     Time-major layout; n_frames = 1 + n_samples // hop (same framing as stft,
-    center=True with reflect padding).
+    center=True with reflect padding) for the direct algorithm; the recursive
+    algorithm trims to the min frame count across octaves (librosa's
+    __trim_stack semantics — equal to 1 + n//hop for the standard clip
+    shapes).
 
     Frames are processed in `frame_chunk`-sized blocks under lax.map: the
     16384-sample analysis frames would otherwise materialize O(T * n_fft)
     float + complex temporaries at once (multi-GB for minute-long clips)."""
-    fft_basis, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin, filter_scale)
+    if algorithm == "recursive":
+        return _cqt_recursive(x, sr, n_bins, hop_length, bins_per_octave,
+                              fmin, filter_scale, scale, alpha_mode)
+    if algorithm != "direct":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    fft_basis, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin,
+                                           filter_scale, alpha_mode)
     basis_t = jnp.asarray(fft_basis).T
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -142,6 +196,67 @@ def cqt(
 
     if scale:
         out = out / jnp.sqrt(jnp.asarray(lengths))
+    return out
+
+
+def _cqt_recursive(
+    x: jnp.ndarray,
+    sr: int,
+    n_bins: int,
+    hop_length: int,
+    bins_per_octave: int,
+    fmin: float,
+    filter_scale: float,
+    scale: bool,
+    alpha_mode: str,
+    pad_mode: str = "constant",
+) -> jnp.ndarray:
+    """librosa's recursive octave-downsampling CQT evaluation
+    (librosa.vqt: top octave at full rate, then 2:1 downsample per octave,
+    fft_basis *= sqrt(sr/my_sr) compensation, trim-stack, sqrt(length) scale).
+
+    pad_mode defaults to 'constant' = librosa >=0.10's cqt default (torch stft
+    and our direct path use 'reflect'). The 2:1 downsample is this repo's
+    polyphase resampler with librosa's scale=True energy convention
+    (multiply by sqrt(1/2))."""
+    n_octaves = int(math.ceil(n_bins / bins_per_octave))
+    n_filters = min(bins_per_octave, n_bins)
+    freqs_all = cqt_frequencies(n_bins, fmin, bins_per_octave)
+    Q = filter_scale / cqt_alpha(bins_per_octave, alpha_mode)
+
+    if hop_length % (2 ** (n_octaves - 1)) != 0:
+        raise ValueError(
+            f"hop_length={hop_length} must be divisible by 2^{n_octaves - 1} "
+            f"for {n_octaves} octaves (librosa's constraint)")
+
+    lead = x.shape[:-1]
+    my = x.reshape((-1, x.shape[-1]))
+    my_sr = float(sr)
+    my_hop = hop_length
+
+    responses = []  # top octave first, like librosa's vqt_resp
+    for i in range(n_octaves):
+        if i > 0:
+            # librosa resample(scale=True): y /= sqrt(target/orig) = *sqrt(2)
+            my = resample(my, 2, 1) * np.float32(np.sqrt(2.0))
+            my_sr /= 2.0
+            my_hop //= 2
+        lo = max(n_bins - n_filters * (i + 1), 0)
+        hi = n_bins - n_filters * i
+        fft_basis, _, n_fft = _octave_kernel(my_sr, tuple(freqs_all[lo:hi]), Q)
+        # compensate the downsampling energy scaling (librosa vqt)
+        basis_t = jnp.asarray(fft_basis).T * np.float32(np.sqrt(2.0 ** i))
+        frames = frame_signal(my, n_fft, my_hop, center=True, pad_mode=pad_mode)
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1) @ basis_t
+        responses.append(spec)  # (batch, T_i, filters_in_octave)
+
+    T = min(r.shape[-2] for r in responses)  # __trim_stack
+    out = jnp.concatenate([r[:, :T, :] for r in reversed(responses)], axis=-1)
+    out = out.reshape(lead + (T, n_bins))
+
+    if scale:
+        lengths_full = Q * sr / freqs_all  # lengths at the ORIGINAL rate
+        out = out / jnp.sqrt(jnp.asarray(lengths_full, np.float32))
     return out
 
 

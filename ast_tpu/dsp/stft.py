@@ -33,11 +33,12 @@ def hann_window(n: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(hann_window_np(n), dtype=dtype)
 
 
-def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> jnp.ndarray:
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True,
+                 pad_mode: str = "reflect") -> jnp.ndarray:
     """Slice a (..., n_samples) signal into (..., n_frames, n_fft) frames.
 
-    With center=True the signal is reflect-padded by n_fft//2 on both sides
-    first (torch.stft default).
+    With center=True the signal is padded by n_fft//2 on both sides first
+    (torch.stft default mode 'reflect'; librosa.cqt >=0.10 uses 'constant').
 
     No gather-index constants: a numpy (n_frames, n_fft) index matrix would be
     baked into the HLO (339MB for a 60s clip at the CQT's 16384-sample
@@ -48,7 +49,7 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True) -> j
     if center:
         pad = n_fft // 2
         pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
-        x = jnp.pad(x, pad_widths, mode="reflect")
+        x = jnp.pad(x, pad_widths, mode=pad_mode)
     n = x.shape[-1]
     n_frames = 1 + (n - n_fft) // hop
     if n_fft % hop == 0:

@@ -89,3 +89,44 @@ def test_icqt_roundtrip_tone():
     fy = np.abs(np.fft.rfft(y[2048:-2048]))
     fx = np.abs(np.fft.rfft(x[2048:-2048]))
     assert abs(int(np.argmax(fy)) - int(np.argmax(fx))) <= 1
+
+
+def test_recursive_matches_direct_within_resampling_error():
+    """Quantifies the delta between the direct full-rate evaluation and
+    librosa's recursive octave-downsampling algorithm (implemented with our
+    polyphase resampler): interior frames of a 10 s multi-tone clip must
+    agree to <=1% relative L1 in magnitude and <=2.5% in complex value.
+    The residual is the resampler passband ripple (hann^2-sinc vs the exact
+    evaluation); edge frames additionally differ by pad_mode (reflect vs
+    librosa's constant) and are excluded."""
+    t = np.arange(10 * SR) / SR
+    x = np.zeros_like(t)
+    for f0, a in [(36.71, 0.3), (55, 0.3), (110, 0.4), (220.0, 0.5),
+                  (440, 0.2), (1760, 0.1), (3520, 0.1)]:
+        x += a * np.sin(2 * np.pi * f0 * t)
+    x = x.astype(np.float32)
+
+    d = np.asarray(C.cqt(jnp.asarray(x), sr=SR, hop_length=HOP,
+                         algorithm="direct"))
+    r = np.asarray(C.cqt(jnp.asarray(x), sr=SR, hop_length=HOP,
+                         algorithm="recursive"))
+    assert d.shape == r.shape
+    di, ri = d[64:-64], r[64:-64]
+    mag_rel = np.abs(np.abs(di) - np.abs(ri)).sum() / np.abs(di).sum()
+    cpx_rel = np.abs(di - ri).sum() / np.abs(di).sum()
+    assert mag_rel < 0.01, mag_rel
+    assert cpx_rel < 0.025, cpx_rel
+
+
+def test_alpha_modes():
+    """librosa >=0.10 uses the symmetric relative bandwidth; the legacy
+    pre-0.10 form stays available. For B=12: 0.05776 vs 0.05946."""
+    np.testing.assert_allclose(C.cqt_alpha(12, "librosa"), 0.05776, atol=1e-4)
+    np.testing.assert_allclose(C.cqt_alpha(12, "legacy"),
+                               2 ** (1 / 12) - 1, atol=1e-12)
+    # legacy mode still evaluates (shape/finite)
+    t = np.arange(SR) / SR
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    out = np.asarray(C.cqt(jnp.asarray(x), sr=SR, hop_length=HOP,
+                           alpha_mode="legacy"))
+    assert np.isfinite(out).all()
