@@ -64,6 +64,13 @@ class MultiheadAttention(nn.Module):
         v = key_value @ wv + bv
         return self._heads(q), self._heads(k), self._heads(v)
 
+    def project_q(self, query: jnp.ndarray) -> jnp.ndarray:
+        """Query head tensor only — for cached cross-attention decode steps
+        where K/V are precomputed (skips 2/3 of the in_proj matmul)."""
+        wq = self.in_proj_kernel[:, : self.dim].astype(self.dtype)
+        bq = self.in_proj_bias[: self.dim].astype(self.dtype)
+        return self._heads(query @ wq + bq)
+
     def attend(self, q, k, v, mask=None, deterministic=True):
         """Scaled dot-product attention over head tensors + output proj."""
         scale = (self.dim // self.num_heads) ** -0.5
@@ -166,7 +173,8 @@ class TransformerDecoderLayer(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(self, x, memory, tgt_mask=None, deterministic: bool = True):
-        sa = self.self_attn(self.norm1(x), self.norm1(x), tgt_mask, deterministic)
+        h1 = self.norm1(x)
+        sa = self.self_attn(h1, h1, tgt_mask, deterministic)
         x = x + self.drop(sa, deterministic=deterministic)
         ca = self.cross_attn(self.norm2(x), memory, None, deterministic)
         x = x + self.drop(ca, deterministic=deterministic)
@@ -193,7 +201,7 @@ class TransformerDecoderLayer(nn.Module):
         valid = jnp.arange(s_max)[None, None, None, :] > pos  # mask future slots
         sa = self.self_attn.attend(q, k_cache, v_cache, mask=valid)
         x_t = x_t + sa
-        qc, _, _ = self.cross_attn.project(self.norm2(x_t), self.norm2(x_t))
+        qc = self.cross_attn.project_q(self.norm2(x_t))
         ca = self.cross_attn.attend(qc, cross_k, cross_v, mask=None)
         x_t = x_t + ca
         x_t = x_t + self.ff(self.norm3(x_t), deterministic=True)
