@@ -179,7 +179,11 @@ def instrumentation_similarity(audio1, audio2, sr=22050) -> float:
 
 def self_similarity_distance(audio1, audio2, sr=22050) -> float:
     """L1 distance between MFCC recurrence matrices
-    (evaluation_style_transfer.py:121-133)."""
+    (evaluation_style_transfer.py:121-133). Note the reference passes mfcc.T
+    (frames, 20) to librosa.segment.recurrence_matrix, whose observations run
+    along the LAST axis — so both SSMs are 20x20 over MFCC *coefficient*
+    indices, not frames. Reproduced faithfully (see audio_metrics
+    .recurrence_matrix)."""
     m1 = mfcc(np.asarray(audio1), sr, n_mfcc=20)
     m2 = mfcc(np.asarray(audio2), sr, n_mfcc=20)
     ssm1 = recurrence_matrix(m1.T)

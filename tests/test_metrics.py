@@ -61,7 +61,8 @@ def test_chroma_pure_tones_land_in_right_class():
 def test_mfcc_shape_and_determinism():
     y = _tone(440.0)
     m = mfcc(y, SR)
-    assert m.shape[0] == 13
+    assert m.shape[0] == 20  # librosa.feature.mfcc default n_mfcc=20
+    assert mfcc(y, SR, n_mfcc=13).shape[0] == 13
     np.testing.assert_array_equal(m, mfcc(y, SR))
 
 
@@ -83,12 +84,89 @@ def test_piptrack_finds_tone():
 
 
 def test_recurrence_matrix_basic():
-    data = np.concatenate([np.zeros((10, 3)), np.ones((10, 3))])
+    # observations along the LAST axis (librosa convention): (d=3, t=20)
+    data = np.concatenate([np.zeros((10, 3)), np.ones((10, 3))]).T
     rec = recurrence_matrix(data)
     assert rec.shape == (20, 20)
     assert not rec.diagonal().any()
     # frames cluster with their own kind
     assert rec[:10, :10].sum() > rec[:10, 10:].sum()
+
+
+def test_recurrence_matrix_librosa_semantics():
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((5, 24))  # d=5 features, t=24 observations
+    rec = recurrence_matrix(data)
+    t = 24
+    k = 2 * int(np.ceil(np.sqrt(t - 1)))  # width=1 default
+    # every observation links to exactly k neighbors (marked down its column)
+    np.testing.assert_array_equal(rec.sum(axis=0), np.full(t, k))
+    # reference quirk: recurrence over mfcc.T is (n_mfcc, n_mfcc)
+    m = mfcc(_tone(440.0), SR, n_mfcc=20)
+    assert recurrence_matrix(m.T).shape == (20, 20)
+
+
+def _peak_pick_direct(x, pre_max, post_max, pre_avg, post_avg, delta, wait):
+    """Brute-force transcription of librosa.util.peak_pick's documented
+    window semantics: max over [i-pre_max, i+post_max), truncated mean over
+    [i-pre_avg, i+post_avg), threshold delta, greedy strict wait gap."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    peaks, last = [], -np.inf
+    for i in range(n):
+        w_max = x[max(0, i - pre_max): min(n, i + post_max)]
+        w_avg = x[max(0, i - pre_avg): min(n, i + post_avg)]
+        if x[i] != w_max.max() or x[i] == 0.0:
+            continue
+        if x[i] < w_avg.mean() + delta:
+            continue
+        if not i > last + wait:
+            continue
+        peaks.append(i)
+        last = i
+    return np.asarray(peaks, dtype=np.int64)
+
+
+def test_peak_pick_matches_direct_windows():
+    from ast_tpu.eval.audio_metrics import peak_pick
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        env = np.abs(rng.standard_normal(200))
+        env -= env.min()
+        env /= env.max()
+        got = peak_pick(env, pre_max=1, post_max=1, pre_avg=4, post_avg=5,
+                        delta=0.07, wait=1)
+        want = _peak_pick_direct(env, 1, 1, 4, 5, 0.07, 1)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_tuning_estimation_recovers_detuning():
+    from ast_tpu.eval.audio_metrics import estimate_tuning
+
+    for cents in (-0.3, 0.0, 0.25):
+        f = 440.0 * 2.0 ** (cents / 12)
+        tuning = estimate_tuning(y=_tone(f, seconds=1.0), sr=SR)
+        assert abs(tuning - cents) < 0.05, (cents, tuning)
+
+
+def test_chroma_tuning_robust_to_detuned_tone():
+    # a quarter-tone-flat A is still classified as A thanks to tuning estimation
+    f = 440.0 * 2.0 ** (-0.4 / 12)
+    c = chroma_stft(_tone(f), SR)
+    assert np.argmax(c.mean(axis=1)) == 9
+
+
+def test_piptrack_thresholded_localmax():
+    # sub-threshold bins are zeroed before local-max detection: a frame whose
+    # max is huge suppresses small secondary peaks entirely
+    y = _tone(440.0) + 0.01 * _tone(2217.46)  # -40dB secondary tone
+    pitches, mags = piptrack(y, SR, threshold=0.1)
+    mid = pitches.shape[1] // 2
+    voiced = pitches[:, mid][pitches[:, mid] > 0]
+    assert np.all((voiced > 150.0) & (voiced < 4000.0))
+    assert np.any(np.abs(voiced - 440.0) < 8.0)
+    assert not np.any(np.abs(voiced - 2217.46) < 30.0)
 
 
 def test_identity_reconstruction_metrics():
