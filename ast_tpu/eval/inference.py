@@ -36,6 +36,30 @@ ID_TO_NAME = {0: "piano", 1: "violin"}
 NAME_TO_ID = {"piano": 0, "violin": 1}
 
 
+def _preset_stats(cfg: Config):
+    """Stats implied by the config preset: None when faithful (the reference
+    never normalizes at inference); the packaged unified training stats when
+    cfg.faithful is False (Config.unfaithful() — quirk-fix preset). Returns
+    None with a warning when the feature size doesn't match the packaged
+    artifacts (non-default AudioConfig)."""
+    if cfg.faithful:
+        return None
+    import os
+
+    from ast_tpu.dsp.norm import FeatureStats, packaged_stats_dir
+
+    path = os.path.join(packaged_stats_dir(), "stats_unified_stft_cqt.npz")
+    if not os.path.exists(path):
+        return None
+    stats = FeatureStats.from_npz(path)
+    if (stats.stft_mean.shape[1] != cfg.audio.stft_bins
+            or stats.cqt_mean.shape[1] != cfg.audio.cqt_bins):
+        print("Warning: packaged stats do not match this AudioConfig; "
+              "inference normalization disabled despite faithful=False.")
+        return None
+    return stats
+
+
 @dataclasses.dataclass
 class StyleTransferPipeline:
     """Bundles the modules + trained variables + class prototypes.
@@ -66,7 +90,7 @@ class StyleTransferPipeline:
             content_vars=content_vars,
             decoder_vars=decoder_vars,
             class_embeddings=jnp.asarray(class_embeddings),
-            stats=stats,
+            stats=stats if stats is not None else _preset_stats(cfg),
         )
 
     @classmethod
@@ -96,7 +120,7 @@ class StyleTransferPipeline:
             content_vars, decoder_vars, class_embeddings = jax.device_put(
                 (content_vars, decoder_vars, class_embeddings), jax.devices()[0])
         return cls(cfg, content, decoder, content_vars, decoder_vars,
-                   class_embeddings)
+                   class_embeddings, stats=_preset_stats(cfg))
 
     # ------------------------------------------------------------------
 
@@ -210,6 +234,60 @@ class StyleTransferPipeline:
             n_samples=int(wavs.shape[-1]), overlap=int(overlap),
             pcm16_out=pcm16_wire)
         out = np.asarray(out)
+        if pcm16_wire:
+            out = out.astype(np.float32) / 32768.0
+        return out
+
+    def process_audio_batch_sharded(self, waveforms, target_class_ids,
+                                    mesh=None, overlap: Optional[int] = None,
+                                    pcm16_wire: bool = False,
+                                    tensor_parallel: bool = False) -> np.ndarray:
+        """Data-parallel batched transfer over a device mesh.
+
+        Shards the clip batch on the mesh's "data" axis and replicates the
+        model (optionally sharding the decoder frame-codec projections on
+        "model" with tensor_parallel=True); XLA partitions the whole fused
+        transfer program across chips — the serving-side counterpart of the
+        dp training path (capability extension of
+        evaluation_style_transfer.py:135-159, SURVEY.md §2.3; the reference
+        is strictly single-device). Batches that don't divide the data-axis
+        size are zero-padded and trimmed back."""
+        from ast_tpu.parallel import (batch_sharding, make_mesh, replicated,
+                                      shard_variables)
+
+        mesh = make_mesh() if mesh is None else mesh
+        n_data = mesh.shape["data"]
+        overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
+
+        arr = np.asarray(waveforms)
+        ids = np.asarray(target_class_ids)
+        B = arr.shape[0]
+        pad = (-B) % n_data
+        if pad:
+            arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+            ids = np.concatenate([ids, np.zeros(pad, ids.dtype)])
+        if pcm16_wire and arr.dtype != np.int16:
+            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int16)
+        elif not pcm16_wire:
+            arr = arr.astype(np.float32)
+
+        bsh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        wavs = jax.device_put(jnp.asarray(arr), bsh)
+        tids = jax.device_put(jnp.asarray(ids), bsh)
+        content_vars = jax.tree.map(lambda l: jax.device_put(l, rep),
+                                    self.content_vars)
+        decoder_vars = (shard_variables(self.decoder_vars, mesh)
+                        if tensor_parallel else
+                        jax.tree.map(lambda l: jax.device_put(l, rep),
+                                     self.decoder_vars))
+        class_emb = jax.device_put(self.class_embeddings, rep)
+
+        out = self._jitted_batch_core(
+            wavs, class_emb, tids, content_vars, decoder_vars,
+            n_samples=int(wavs.shape[-1]), overlap=int(overlap),
+            pcm16_out=pcm16_wire)
+        out = np.asarray(out)[:B]
         if pcm16_wire:
             out = out.astype(np.float32) / 32768.0
         return out

@@ -134,6 +134,38 @@ def test_mesh_aware_train_loop(rng, tmp_path):
     assert int(state.step) >= 1
 
 
+def test_sharded_batch_inference(rng):
+    """Data-parallel serving path: process_audio_batch_sharded on the 8-device
+    mesh matches the single-device batch path, including batch padding (B=5
+    does not divide the 4-wide data axis)."""
+    from ast_tpu.config import AudioConfig
+    from ast_tpu.eval.inference import StyleTransferPipeline
+
+    audio = AudioConfig(sample_rate=4000, clip_seconds=0.5, n_fft=64,
+                        hop_length=64, cqt_bins=12, cqt_fmin=200.0,
+                        window_size=16, overlap_frames=5, eval_overlap_frames=5)
+    model = dataclasses.replace(ModelConfig().tiny(), window_size=16,
+                                stft_bins=audio.stft_bins,
+                                feat_bins=audio.feat_bins)
+    cfg = dataclasses.replace(Config(), audio=audio, model=model)
+    pipe = StyleTransferPipeline.init_random(cfg, seed=0)
+
+    B = 5
+    wavs = rng.standard_normal((B, int(audio.clip_samples))).astype(np.float32)
+    ids = np.array([1, 0, 1, 1, 0])
+
+    expected = pipe.process_audio_batch(wavs, ids)
+    mesh = make_mesh((4, 2))
+    out = pipe.process_audio_batch_sharded(wavs, ids, mesh=mesh)
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(out, expected, atol=2e-4)
+
+    # tensor-parallel codec variant agrees too
+    out_tp = pipe.process_audio_batch_sharded(wavs, ids, mesh=mesh,
+                                              tensor_parallel=True)
+    np.testing.assert_allclose(out_tp, expected, atol=2e-4)
+
+
 def test_distributed_helpers_single_process():
     from ast_tpu.parallel import initialize_distributed, local_batch_slice, process_info
 
