@@ -189,5 +189,25 @@ class Config:
     curriculum: CurriculumSchedule = dataclasses.field(default_factory=CurriculumSchedule)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
 
+    # Reference-faithful quirk behavior (PARITY.md quirk table). True (the
+    # default) reproduces the reference exactly. `Config().unfaithful()`
+    # flips every config-level quirk FIX on at once:
+    #   * quirk #1 — unified overlap: eval uses the training overlap (96/96
+    #     instead of 96 train / 86 eval)
+    #   * inference-feature normalization: StyleTransferPipeline z-scores the
+    #     inference features with the packaged training stats (the reference
+    #     trains on normalized features but never normalizes at inference,
+    #     evaluation_style_transfer.py:135-140)
+    faithful: bool = True
+
+    def unfaithful(self) -> "Config":
+        """The faithful=False preset: all quirk fixes enabled (see above)."""
+        return dataclasses.replace(
+            self,
+            faithful=False,
+            audio=dataclasses.replace(
+                self.audio, eval_overlap_frames=self.audio.overlap_frames),
+        )
+
 
 DEFAULT_CONFIG = Config()

@@ -151,3 +151,29 @@ def test_inference_normalization_option(audio_clip):
     pipe2 = dc.replace(pipe, stats=stats2)
     changed = pipe2.transfer(wav, "violin")
     assert not np.allclose(changed, raw, atol=1e-3)
+
+
+def test_unfaithful_preset():
+    """Config().unfaithful() flips all config-level quirk fixes at once:
+    unified overlap (96/96) and packaged-stats inference normalization."""
+    from ast_tpu.eval.inference import _preset_stats
+
+    cfg = Config()
+    assert cfg.faithful and cfg.audio.eval_overlap_frames == 86
+    assert _preset_stats(cfg) is None  # faithful: never normalize
+
+    fixed = cfg.unfaithful()
+    assert not fixed.faithful
+    assert fixed.audio.eval_overlap_frames == fixed.audio.overlap_frames == 96
+    stats = _preset_stats(fixed)
+    assert stats is not None
+    assert stats.stft_mean.shape == (2, fixed.audio.stft_bins)
+    assert stats.cqt_mean.shape == (2, fixed.audio.cqt_bins)
+
+    # non-default feature sizes can't use the packaged stats: stays None
+    tiny_fixed = TINY.unfaithful()
+    assert _preset_stats(tiny_fixed) is None
+
+    # pipelines pick the preset stats up automatically
+    pipe = StyleTransferPipeline.init_random(tiny_fixed, seed=0)
+    assert pipe.stats is None  # tiny config: gated off
