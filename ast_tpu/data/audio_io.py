@@ -5,11 +5,15 @@ Reference behavior (utilityFunctions.py:105-122): decode -> zero-pad/cut to
 stereo->mono mean. The fast path is the framework's own C++ decoder +
 polyphase resampler (ast_tpu/runtime/audio_native.cpp, the TPU-native
 equivalent of the torchaudio/ffmpeg stack the reference leans on); the
-fallback is the stdlib `wave` module + the same-kernel numpy resampler, so
-both paths produce identical audio.
+wav fallback is the stdlib `wave` module + the same-kernel numpy resampler,
+so both paths produce identical audio.
 
-Only RIFF/WAVE files decode here (no ffmpeg in this environment — mp3 inputs
-must be converted offline; ast_tpu.tools gates on this)."""
+mp3 decode (torchaudio.load on .mp3, utilityFunctions.py:109) and mp3-192k
+encode (the reference's AudioSegment export, Preprocessing_Dataset/
+unifies_violin_datasets.py) go through the native runtime's dlopen'd system
+libmpg123/libmp3lame with sample-accurate gapless lengths; when those
+libraries are missing, mp3 paths raise a clear error and wav continues to
+work."""
 
 from __future__ import annotations
 
@@ -43,9 +47,33 @@ def _native():
                                        ctypes.POINTER(ctypes.c_float),
                                        ctypes.c_long]
         lib.ast_load_audio.restype = ctypes.c_long
+        lib.ast_audio_info.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_int),
+                                       ctypes.POINTER(ctypes.c_int),
+                                       ctypes.POINTER(ctypes.c_long),
+                                       ctypes.POINTER(ctypes.c_int)]
+        lib.ast_audio_info.restype = ctypes.c_int
+        lib.ast_mp3_read.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+        lib.ast_mp3_read.restype = ctypes.c_long
+        lib.ast_mp3_write.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_int, ctypes.c_long,
+                                      ctypes.c_int, ctypes.c_int]
+        lib.ast_mp3_write.restype = ctypes.c_int
+        lib.ast_mp3_decode_available.restype = ctypes.c_int
+        lib.ast_mp3_encode_available.restype = ctypes.c_int
         return lib
     except Exception:
         return None
+
+
+def mp3_supported() -> bool:
+    """True when native mp3 decode AND encode are available (system
+    libmpg123 + libmp3lame resolved by the native runtime)."""
+    lib = _native()
+    return (lib is not None and lib.ast_mp3_decode_available() == 0
+            and lib.ast_mp3_encode_available() == 0)
 
 
 def wav_info(path: str) -> Tuple[int, int, int]:
@@ -58,6 +86,71 @@ def wav_info(path: str) -> Tuple[int, int, int]:
             return sr.value, ch.value, n.value
     with wave.open(path, "rb") as w:
         return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
+def audio_info(path: str) -> Tuple[int, int, int, str]:
+    """(sample_rate, channels, frames, kind) for wav OR mp3 (content-sniffed)."""
+    lib = _native()
+    if lib is not None:
+        sr, ch, kind = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+        n = ctypes.c_long()
+        if lib.ast_audio_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                              ctypes.byref(n), ctypes.byref(kind)) == 0:
+            return sr.value, ch.value, n.value, {1: "wav", 2: "mp3"}[kind.value]
+        if kind.value == 2:
+            raise RuntimeError(
+                f"{path}: mp3 detected but native mp3 decode is unavailable "
+                "(system libmpg123 not found)")
+    sr, ch, n = wav_info(path)
+    return sr, ch, n, "wav"
+
+
+def read_mp3(path: str) -> Tuple[np.ndarray, int]:
+    """Decode an mp3 -> ((channels, samples) float32 in [-1,1], sr).
+    Sample-accurate (gapless) when the encoder wrote a LAME/Xing tag."""
+    lib = _native()
+    if lib is None or lib.ast_mp3_decode_available() != 0:
+        raise RuntimeError("native mp3 decode unavailable (libmpg123 missing)")
+    sr, ch, n, kind = audio_info(path)
+    if kind != "mp3":
+        raise ValueError(f"{path} is not an mp3 file")
+    buf = np.zeros(n * ch, np.float32)
+    got = lib.ast_mp3_read(path.encode(),
+                           buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    if got < 0:
+        raise RuntimeError(f"mp3 decode failed for {path} (rc={got})")
+    return buf[: got * ch].reshape(got, ch).T.copy(), sr
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Decode wav or mp3 (content-sniffed) -> ((channels, samples), sr)."""
+    lib = _native()
+    if lib is not None:
+        _, _, _, kind = audio_info(path)
+        if kind == "mp3":
+            return read_mp3(path)
+    return read_wav(path)
+
+
+def write_mp3(path: str, data: np.ndarray, sample_rate: int = 22050,
+              bitrate_kbps: int = 192) -> None:
+    """Encode mono/stereo float32 [-1,1] to mp3 (defaults to the reference's
+    192k export, Preprocessing_Dataset/unifies_violin_datasets.py)."""
+    lib = _native()
+    if lib is None or lib.ast_mp3_encode_available() != 0:
+        raise RuntimeError("native mp3 encode unavailable (libmp3lame missing)")
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    if data.shape[0] > 2:
+        raise ValueError("mp3 encode supports mono/stereo only")
+    inter = np.ascontiguousarray(data.T.reshape(-1))
+    rc = lib.ast_mp3_write(path.encode(),
+                           inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                           data.shape[0], data.shape[1], sample_rate,
+                           int(bitrate_kbps))
+    if rc != 0:
+        raise RuntimeError(f"mp3 encode failed for {path} (rc={rc})")
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -99,7 +192,7 @@ def load_audio(path: str, sample_rate: int = 22050,
     ((1, samples) float32, sample_rate)."""
     lib = _native() if use_native else None
     if lib is not None:
-        sr_orig, _, _ = wav_info(path)
+        sr_orig, _, _, _ = audio_info(path)
         max_out = int(math.ceil(cut_time_seconds * max(sr_orig, sample_rate))) + 16
         buf = np.zeros(max_out, np.float32)
         got = lib.ast_load_audio(
@@ -108,7 +201,7 @@ def load_audio(path: str, sample_rate: int = 22050,
         if got >= 0:
             return buf[:got][None, :].copy(), sample_rate
 
-    wav, sr = read_wav(path)
+    wav, sr = read_audio(path)
     cut = int(cut_time_seconds * sr)
     if wav.shape[1] < cut:
         wav = np.pad(wav, ((0, 0), (0, cut - wav.shape[1])))

@@ -86,18 +86,43 @@ def test_split_center(tmp_path):
 
 
 def test_unify_and_rms(tmp_path):
+    from ast_tpu.data.audio_io import mp3_supported, read_audio
+
     src = tmp_path / "src"
     src.mkdir()
     _write_tone(str(src / "x.wav"), seconds=1.0, amp=0.9)
     out = unify_datasets([(str(src), "Bach")], str(tmp_path / "merged"),
                          target_sr=8000, target_rms=0.07)
     assert len(out) == 1 and os.path.basename(out[0]).startswith("Bach_")
-    wav, sr = read_wav(out[0])
+    if mp3_supported():  # reference format: mp3-192k
+        assert out[0].endswith(".mp3")
+    wav, sr = read_audio(out[0])
     assert sr == 8000
     rms = float(np.sqrt(np.mean(wav ** 2)))
     assert abs(rms - 0.07) < 0.005
     y = rms_normalize(np.zeros(10))
     np.testing.assert_array_equal(y, np.zeros(10))
+
+
+def test_segmenters_accept_and_emit_mp3(tmp_path):
+    """The reference segmenters read mp3 sources and export mp3
+    (split_BachViolinDataset.py:49,67) — full mp3-in/mp3-out path."""
+    from ast_tpu.data.audio_io import mp3_supported, read_audio, write_mp3
+
+    if not mp3_supported():
+        pytest.skip("system libmpg123/libmp3lame unavailable")
+    sr = 22050
+    t = np.arange(40 * sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    write_mp3(str(src / "track.mp3"), tone, sr)
+
+    out = split_random_spaced(str(src), str(dst), segment_ms=10_000, seed=1)
+    assert len(out) >= 1 and out[0].endswith(".mp3")
+    clip, sr2 = read_audio(out[0])
+    assert sr2 == sr and clip.shape[1] == 10 * sr
 
 
 def test_compute_separated_stats(tmp_path):
