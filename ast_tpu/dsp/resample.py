@@ -25,20 +25,34 @@ import numpy as np
 
 LOWPASS_WIDTH = 6
 ROLLOFF = 0.99
+# torchaudio's "sinc_interp_kaiser" preset (an approximation of resampy's
+# kaiser_best): much higher stopband rejection than hann^2 at width 6 —
+# used where aliasing matters (the CQT octave decimation chain)
+KAISER_WIDTH = 16
+KAISER_ROLLOFF = 0.9475937167399596
+KAISER_BETA = 14.769656459379492
 
 
-@functools.lru_cache(maxsize=16)
-def _kernel(up: int, down: int) -> tuple:
+@functools.lru_cache(maxsize=32)
+def _kernel(up: int, down: int, lowpass_filter_width: int = LOWPASS_WIDTH,
+            rolloff: float = ROLLOFF, window: str = "hann",
+            beta: float = KAISER_BETA) -> tuple:
     """Polyphase kernel (up, 2*width + down) and the pad width."""
-    base = min(up, down) * ROLLOFF
-    width = int(math.ceil(LOWPASS_WIDTH * down / base))
+    W = lowpass_filter_width
+    base = min(up, down) * rolloff
+    width = int(math.ceil(W * down / base))
     i = np.arange(-width, width + down, dtype=np.float64)  # taps, in down units
     p = np.arange(up, dtype=np.float64)
     t = (i[None, :] / down - p[:, None] / up) * base
-    t = np.clip(t, -LOWPASS_WIDTH, LOWPASS_WIDTH)
-    window = np.cos(t * np.pi / LOWPASS_WIDTH / 2.0) ** 2
+    t = np.clip(t, -W, W)
+    if window == "kaiser":
+        win = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - (t / W) ** 2))) / np.i0(beta)
+    elif window == "hann":
+        win = np.cos(t * np.pi / W / 2.0) ** 2
+    else:
+        raise ValueError(f"unknown window {window!r}")
     sinc = np.where(t == 0, 1.0, np.sin(t * np.pi) / np.where(t == 0, 1.0, t * np.pi))
-    kernel = (sinc * window * (base / down)).astype(np.float32)
+    kernel = (sinc * win * (base / down)).astype(np.float32)
     # cache numpy (jnp under a jit trace would leak a tracer into the cache)
     return kernel, width
 
@@ -48,12 +62,18 @@ def _reduce(orig_freq: int, new_freq: int) -> tuple:
     return new_freq // g, orig_freq // g
 
 
-def resample(x: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarray:
-    """Resample a (..., n) signal. Output length = ceil(n * new/orig)."""
+def resample(x: jnp.ndarray, orig_freq: int, new_freq: int,
+             lowpass_filter_width: int = LOWPASS_WIDTH,
+             rolloff: float = ROLLOFF, window: str = "hann") -> jnp.ndarray:
+    """Resample a (..., n) signal. Output length = ceil(n * new/orig).
+
+    The default kernel matches torchaudio's sinc_interp_hann (the reference
+    loader's path); window="kaiser" with the KAISER_* preset gives the
+    high-rejection decimator used inside the recursive CQT."""
     if orig_freq == new_freq:
         return x
     up, down = _reduce(orig_freq, new_freq)
-    kernel, width = _kernel(up, down)
+    kernel, width = _kernel(up, down, lowpass_filter_width, rolloff, window)
     n = x.shape[-1]
     target_len = int(math.ceil(n * up / down))
 
