@@ -46,20 +46,38 @@ def main():
     latency_ms = (time.perf_counter() - t0) / lat_iters * 1000
 
     # batched end-to-end throughput (the serving path: B clips per device
-    # call, int16 PCM wire format, host transfer included)
+    # call, int16 PCM wire format, host transfer included). Both serving
+    # modes are measured — sequential batch calls and the pipelined
+    # transfer_stream (depth>1 keeps batches in flight; wins when the link
+    # allows overlapping upload with compute, loses when the transport
+    # serializes RPCs) — and the better one is the headline.
     pcm = np.clip(np.round(clips_np * 32768.0), -32768, 32767).astype(np.int16)
     out = pipe.process_audio_batch(pcm, targets, pcm16_wire=True)  # compile
     assert np.isfinite(out).all()
-    # median of 3 measurement windows (the tunnel's per-run variance is
-    # larger than the measurement noise within a window)
-    windows = []
+    # median of 3 measurement windows per mode (the tunnel's per-run variance
+    # is larger than the measurement noise within a window)
+    seq_windows = []
     for _ in range(3):
         n_iters = 4
         t0 = time.perf_counter()
         for _ in range(n_iters):
             out = pipe.process_audio_batch(pcm, targets, pcm16_wire=True)
-        windows.append(n_iters * B / (time.perf_counter() - t0))
-    clips_per_sec = sorted(windows)[1]
+        seq_windows.append(n_iters * B / (time.perf_counter() - t0))
+    seq_clips_per_sec = sorted(seq_windows)[1]
+
+    n_stream = 4 * B
+    stream_clips = np.tile(pcm, (4, 1))
+    stream_ids = np.tile(targets, 4)
+    stream_windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = sum(1 for _ in pipe.transfer_stream(
+            stream_clips, stream_ids, batch_size=B, depth=3, pcm16_wire=True))
+        assert got == n_stream
+        stream_windows.append(n_stream / (time.perf_counter() - t0))
+    stream_clips_per_sec = sorted(stream_windows)[1]
+
+    clips_per_sec = max(seq_clips_per_sec, stream_clips_per_sec)
 
     # pure device compute (inputs/outputs resident, sync once at end)
     clip_dev = jnp.asarray(clips_np[0])
@@ -80,6 +98,8 @@ def main():
         "unit": "clips/s",
         # target from BASELINE.json: <1 s per 10 s clip => 1.0 clip/s
         "vs_baseline": round(clips_per_sec / 1.0, 3),
+        "sequential_clips_per_sec": round(seq_clips_per_sec, 3),
+        "pipelined_clips_per_sec": round(stream_clips_per_sec, 3),
         "single_clip_latency_ms": round(latency_ms, 2),
         "device_compute_ms_per_clip": round(device_ms, 3),
         "batch_size": B,

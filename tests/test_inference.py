@@ -177,3 +177,19 @@ def test_unfaithful_preset():
     # pipelines pick the preset stats up automatically
     pipe = StyleTransferPipeline.init_random(tiny_fixed, seed=0)
     assert pipe.stats is None  # tiny config: gated off
+
+
+def test_transfer_stream_matches_batch(audio_clip):
+    """Pipelined serving yields the same clips as the one-shot batch path,
+    in order, including a padded partial final batch."""
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    rng = np.random.default_rng(3)
+    B = 5
+    wavs = rng.standard_normal((B, TINY_AUDIO.clip_samples)).astype(np.float32)
+    ids = np.array([1, 0, 1, 1, 0])
+
+    expected = pipe.process_audio_batch(wavs, ids, pcm16_wire=True)
+    got = list(pipe.transfer_stream(wavs, ids, batch_size=2, depth=2,
+                                    pcm16_wire=True))
+    assert len(got) == B
+    np.testing.assert_allclose(np.stack(got), expected, atol=1e-4)
