@@ -77,9 +77,12 @@ import contextlib
 
 def cpu_init_context():
     """Initialize parameters on the host CPU backend when the default device
-    is an accelerator: init programs compile in seconds locally, then the
-    weights upload once — much cheaper than compiling throwaway init programs
-    for the accelerator (5x on this image's remote-compile TPU)."""
+    is an accelerator. Only worth it for SMALL models: host init skips an
+    accelerator init compile, but the weights must then upload through the
+    host link — for the full 154M-param model that upload measured ~5 min on
+    a relay-attached chip, dwarfing the compile it saves. Full-size paths
+    (StyleTransferPipeline.init_random, init_state) therefore jit the init
+    on-device instead; this context remains for small/CI configs."""
     try:
         if jax.default_backend() != "cpu":
             return jax.default_device(jax.local_devices(backend="cpu")[0])
@@ -96,8 +99,9 @@ def init_state(cfg: Config, models: Models, rng: jax.Array,
     are fully shape-dynamic over B and S), so init traces with B=2, S=1 —
     the cheapest program that creates every variable. sections_per_clip is
     kept in the signature for callers that want the historical behavior but
-    does not affect the result. Params initialize on CPU and upload once
-    (see cpu_init_context)."""
+    does not affect the result. Params materialize directly in device HBM
+    via ONE jitted init program (host init + upload measured ~5 min for the
+    154M-param model through a relay link; the init compile is ~30 s)."""
     del sections_per_clip  # param shapes don't depend on it
     m = cfg.model
     B, S = 2, 1
@@ -107,16 +111,14 @@ def init_state(cfg: Config, models: Models, rng: jax.Array,
     emb = jnp.zeros((B, m.d_model), m.jnp_dtype)
     seq = jnp.zeros((B, S, m.d_model), m.jnp_dtype)
 
-    k_c, k_s, k_d, k_x, k_rest = jax.random.split(rng, 5)
-    with cpu_init_context():
-        content_vars = models.content.init(k_c, x)
-        style_vars = models.style.init(k_s, x, labels)
-        decoder_vars = models.decoder.init(k_d, seq, emb, y)
-        disc_vars = models.disc.init(k_x, emb)
-    if jax.default_backend() != "cpu":
-        dev = jax.devices()[0]
-        content_vars, style_vars, decoder_vars, disc_vars = jax.device_put(
-            (content_vars, style_vars, decoder_vars, disc_vars), dev)
+    @jax.jit
+    def _init(key):
+        k_c, k_s, k_d, k_x, k_rest = jax.random.split(key, 5)
+        return (models.content.init(k_c, x), models.style.init(k_s, x, labels),
+                models.decoder.init(k_d, seq, emb, y),
+                models.disc.init(k_x, emb), k_rest)
+
+    content_vars, style_vars, decoder_vars, disc_vars, k_rest = _init(rng)
 
     gen_tx, disc_tx = make_optimizers(cfg)
     gen_params = {
