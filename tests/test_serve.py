@@ -1,0 +1,97 @@
+"""HTTP serving daemon tests (tiny config, random weights, CPU mesh)."""
+
+import io
+import json
+import os
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from ast_tpu.eval.inference import StyleTransferPipeline
+from ast_tpu.serve import TransferServer
+from tests.test_inference import TINY, TINY_AUDIO
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    srv = TransferServer(pipe, port=0, max_seconds=60.0,
+                         bucket_seconds=TINY_AUDIO.clip_seconds)
+    srv.start_background()
+    host, port = srv.address[:2]
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    pcm = np.clip(np.round(wav * 32768.0), -32768, 32767).astype("<i2")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert set(h["targets"]) == {"piano", "violin"}
+
+
+def test_transfer_roundtrip(server):
+    sr = TINY_AUDIO.sample_rate
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)).astype(np.float32)
+    status, body, ctype = _post(server + "/transfer?target=violin",
+                                _wav_bytes(wav, sr))
+    assert status == 200, body
+    assert ctype == "audio/wav"
+    with wave.open(io.BytesIO(body), "rb") as w:
+        assert w.getframerate() == sr
+        out = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    # istft output length = hop * (T - 1) for the padded bucket
+    assert out.size > 0
+    assert np.isfinite(out.astype(np.float32)).all()
+
+    # /reconstruct is the same-class alias
+    status, body, _ = _post(server + "/reconstruct?target=piano",
+                            _wav_bytes(wav, sr))
+    assert status == 200, body
+
+
+def test_bad_requests(server):
+    sr = TINY_AUDIO.sample_rate
+    wav = np.zeros(TINY_AUDIO.clip_samples, np.float32)
+    # unknown target
+    status, body, _ = _post(server + "/transfer?target=guitar",
+                            _wav_bytes(wav, sr))
+    assert status == 400
+    assert b"unknown target" in body
+    # undecodable body
+    status, body, _ = _post(server + "/transfer?target=violin", b"not audio")
+    assert status == 400
+    # unknown path
+    status, body, _ = _post(server + "/nope", b"x")
+    assert status == 404
+
+
+def test_stats_endpoint(server):
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["requests"].get("transfer", 0) >= 1
+    assert s["errors"] >= 1
+    assert s["latency_ms"]["n"] >= 1 and s["latency_ms"]["p50"] > 0
