@@ -89,6 +89,25 @@ def test_bad_requests(server):
     assert status == 404
 
 
+def test_concurrent_requests(server):
+    """Concurrent clients: decode/encode threads overlap, device work
+    serializes behind the pipeline lock — all requests must succeed."""
+    import concurrent.futures
+
+    sr = TINY_AUDIO.sample_rate
+    rng = np.random.default_rng(7)
+    bodies = [_wav_bytes((0.1 * rng.standard_normal(
+        TINY_AUDIO.clip_samples)).astype(np.float32), sr) for _ in range(8)]
+
+    def one(i):
+        target = ("violin", "piano")[i % 2]
+        return _post(server + f"/transfer?target={target}", bodies[i])[0]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        codes = list(ex.map(one, range(8)))
+    assert codes == [200] * 8
+
+
 def test_stats_endpoint(server):
     with urllib.request.urlopen(server + "/stats", timeout=30) as r:
         s = json.loads(r.read())
