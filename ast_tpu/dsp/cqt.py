@@ -83,7 +83,28 @@ def _float_hann(n: float) -> np.ndarray:
     return w
 
 
-def _build_fft_basis(freqs: np.ndarray, sr: float, Q: float) -> tuple:
+def _sparsify_rows(x: np.ndarray, quantile: float) -> np.ndarray:
+    """librosa.util.sparsify_rows: per row, zero the smallest-magnitude
+    entries accounting for up to `quantile` of the row's L1 mass (librosa
+    applies this to the CQT fft basis with quantile=0.01 by default; on TPU
+    the basis stays a dense matmul operand — this exists purely to match the
+    reference's numbers, not for speed)."""
+    if quantile <= 0:
+        return x
+    mags = np.abs(x)
+    norms = mags.sum(axis=-1, keepdims=True)
+    mag_sort = np.sort(mags, axis=-1)
+    cumulative = np.cumsum(mag_sort / norms, axis=-1)
+    threshold_idx = np.argmin(cumulative < quantile, axis=-1)
+    out = np.zeros_like(x)
+    for i, j in enumerate(threshold_idx):
+        keep = mags[i] >= mag_sort[i, j]
+        out[i, keep] = x[i, keep]
+    return out
+
+
+def _build_fft_basis(freqs: np.ndarray, sr: float, Q: float,
+                     sparsity: float = 0.0) -> tuple:
     """Hann-windowed complex wavelet filterbank in the frequency domain.
 
     Returns (fft_basis (n_filters, n_fft//2+1) complex64, lengths, n_fft);
@@ -104,6 +125,7 @@ def _build_fft_basis(freqs: np.ndarray, sr: float, Q: float) -> tuple:
 
     fft_basis = np.fft.fft(basis, n=n_fft, axis=1)[:, : n_fft // 2 + 1]
     fft_basis *= lengths[:, None] / n_fft
+    fft_basis = _sparsify_rows(fft_basis, sparsity)
     # cache numpy (NOT jnp: a jnp value created during a jit trace would leak
     # a tracer into the cache); call sites convert with jnp.asarray
     return (
@@ -121,6 +143,7 @@ def cqt_kernel(
     fmin: float = _DEF.cqt_fmin,
     filter_scale: float = _DEF.cqt_filter_scale,
     alpha_mode: str = "librosa",
+    sparsity: float = _DEF.cqt_sparsity,
 ) -> tuple:
     """Full-rate frequency-domain CQT filterbank (direct algorithm).
 
@@ -128,14 +151,15 @@ def cqt_kernel(
     n_fft)."""
     freqs = cqt_frequencies(n_bins, fmin, bins_per_octave)
     Q = filter_scale / cqt_alpha(bins_per_octave, alpha_mode)
-    return _build_fft_basis(freqs, float(sr), Q)
+    return _build_fft_basis(freqs, float(sr), Q, sparsity)
 
 
 @functools.lru_cache(maxsize=64)
-def _octave_kernel(sr: float, freqs: tuple, Q: float) -> tuple:
+def _octave_kernel(sr: float, freqs: tuple, Q: float,
+                   sparsity: float = _DEF.cqt_sparsity) -> tuple:
     """One octave's filterbank at its (downsampled) rate, for the recursive
     algorithm."""
-    return _build_fft_basis(np.asarray(freqs, np.float64), sr, Q)
+    return _build_fft_basis(np.asarray(freqs, np.float64), sr, Q, sparsity)
 
 
 def cqt(
@@ -150,6 +174,7 @@ def cqt(
     frame_chunk: int = 512,
     algorithm: str = "direct",
     alpha_mode: str = "librosa",
+    sparsity: float = _DEF.cqt_sparsity,
 ) -> jnp.ndarray:
     """Complex CQT of a (..., n_samples) signal -> (..., n_frames, n_bins).
 
@@ -164,11 +189,12 @@ def cqt(
     float + complex temporaries at once (multi-GB for minute-long clips)."""
     if algorithm == "recursive":
         return _cqt_recursive(x, sr, n_bins, hop_length, bins_per_octave,
-                              fmin, filter_scale, scale, alpha_mode)
+                              fmin, filter_scale, scale, alpha_mode,
+                              sparsity=sparsity)
     if algorithm != "direct":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     fft_basis, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin,
-                                           filter_scale, alpha_mode)
+                                           filter_scale, alpha_mode, sparsity)
     basis_t = jnp.asarray(fft_basis).T
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -216,6 +242,7 @@ def _cqt_recursive(
     scale: bool,
     alpha_mode: str,
     pad_mode: str = "constant",
+    sparsity: float = _DEF.cqt_sparsity,
 ) -> jnp.ndarray:
     """librosa's recursive octave-downsampling CQT evaluation
     (librosa.vqt: top octave at full rate, then 2:1 downsample per octave,
@@ -257,7 +284,8 @@ def _cqt_recursive(
             my_hop //= 2
         lo = max(n_bins - n_filters * (i + 1), 0)
         hi = n_bins - n_filters * i
-        fft_basis, _, n_fft = _octave_kernel(my_sr, tuple(freqs_all[lo:hi]), Q)
+        fft_basis, _, n_fft = _octave_kernel(my_sr, tuple(freqs_all[lo:hi]), Q,
+                                             sparsity)
         # compensate the downsampling energy scaling (librosa vqt)
         basis_t = jnp.asarray(fft_basis).T * np.float32(np.sqrt(2.0 ** i))
         frames = frame_signal(my, n_fft, my_hop, center=True, pad_mode=pad_mode)
@@ -280,12 +308,15 @@ def cqt_ri(
     n_bins: int = _DEF.cqt_bins,
     hop_length: int = _DEF.hop_length,
     algorithm: str = "direct",
+    sparsity: float = _DEF.cqt_sparsity,
 ) -> jnp.ndarray:
     """CQT in the reference's packed layout (2, T, F)
     (reference: utilityFunctions.py:54-60). Feature pipelines pass
-    cfg.audio.cqt_algorithm (default "recursive")."""
+    cfg.audio.cqt_algorithm (default "recursive"). `sparsity` mirrors
+    librosa.cqt's 0.01-quantile basis sparsification (on by default there,
+    hence here)."""
     c = cqt(x, sr=sr, n_bins=n_bins, hop_length=hop_length,
-            algorithm=algorithm)
+            algorithm=algorithm, sparsity=sparsity)
     return jnp.stack([jnp.real(c), jnp.imag(c)], axis=0).astype(jnp.float32)
 
 

@@ -39,7 +39,7 @@ def extract_features(
     instrument (dataloader.py:101-114)."""
     s = stft_ri(waveform, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
     c = cqt_ri(waveform, sr=cfg.sample_rate, n_bins=cfg.cqt_bins,
-               hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm)
+               hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm, sparsity=cfg.cqt_sparsity)
     s = normalize(s, stft_mean, stft_std)
     c = normalize(c, cqt_mean, cqt_std)
     feats = concat_stft_cqt(s, c)

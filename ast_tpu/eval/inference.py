@@ -142,7 +142,8 @@ class StyleTransferPipeline:
                 waveform = waveform.astype(jnp.float32) / 32768.0
             s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length)
             c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
-                       hop_length=a.hop_length, algorithm=a.cqt_algorithm)
+                       hop_length=a.hop_length, algorithm=a.cqt_algorithm,
+                       sparsity=a.cqt_sparsity)
             if self.stats is not None:  # opt-in; reference never normalizes
                 from ast_tpu.dsp.norm import normalize
 
@@ -187,7 +188,8 @@ class StyleTransferPipeline:
             def featurize(w):
                 s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length)
                 c = cqt_ri(w, sr=a.sample_rate, n_bins=a.cqt_bins,
-                           hop_length=a.hop_length, algorithm=a.cqt_algorithm)
+                           hop_length=a.hop_length, algorithm=a.cqt_algorithm,
+                       sparsity=a.cqt_sparsity)
                 if self.stats is not None:  # opt-in; reference never normalizes
                     from ast_tpu.dsp.norm import normalize
 

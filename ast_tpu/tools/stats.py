@@ -35,7 +35,7 @@ def _clip_moments(cfg: AudioConfig):
     def moments(waveform):
         s = stft_ri(waveform, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
         c = cqt_ri(waveform, sr=cfg.sample_rate, n_bins=cfg.cqt_bins,
-                   hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm)
+                   hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm, sparsity=cfg.cqt_sparsity)
         merged = jnp.concatenate([s, c], axis=2)  # (2, T, F)
         clip_mean = merged.mean(axis=1)           # (2, F)
         clip_var = merged.var(axis=1, ddof=1)     # (2, F), torch.std default

@@ -148,6 +148,34 @@ def test_recursive_broadband_delta_small():
     assert rel < 0.01, rel
 
 
+def test_sparsify_rows_semantics():
+    """librosa.util.sparsify_rows semantics: kept entries preserve >=
+    (1-quantile) of each row's L1 mass; kept set is a magnitude top-set;
+    quantile 0 is the identity."""
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((5, 64)) + 1j * rng.standard_normal((5, 64)))
+    out = C._sparsify_rows(x, 0.01)
+    assert C._sparsify_rows(x, 0.0) is x
+    for row_in, row_out in zip(x, out):
+        kept = row_out != 0
+        assert np.abs(row_out[kept] - row_in[kept]).max() == 0
+        assert np.abs(row_out).sum() >= 0.99 * np.abs(row_in).sum()
+        # top-set: every kept magnitude >= every dropped magnitude
+        if kept.any() and (~kept).any():
+            assert np.abs(row_in[kept]).min() >= np.abs(row_in[~kept]).max()
+
+
+def test_sparsity_delta_small():
+    """The 0.01-quantile sparsified basis (librosa's default, ours too)
+    changes CQT magnitudes by well under 1% vs the dense basis."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray((0.1 * rng.standard_normal(2 * SR)).astype(np.float32))
+    dense = np.asarray(jnp.abs(C.cqt(x, sr=SR, hop_length=HOP, sparsity=0.0)))
+    sparse = np.asarray(jnp.abs(C.cqt(x, sr=SR, hop_length=HOP, sparsity=0.01)))
+    rel = np.abs(dense - sparse).mean() / dense.mean()
+    assert 0 < rel < 0.01, rel
+
+
 def test_kaiser_decimator_stopband():
     """Decimating a tone above the target Nyquist must suppress it by far
     more with the Kaiser kernel than the width-6 hann^2 loader kernel."""
