@@ -127,3 +127,36 @@ def test_train_loop_end_to_end(fixture_dir, tmp_path):
     )
     assert int(state.step) >= 1
     assert latest_checkpoint(str(tmp_path / "ckpt")) is not None
+
+    # close the loop: trained checkpoint -> eval bundle -> pipeline -> one
+    # HTTP serving request (the full user journey in one test)
+    import io
+    import urllib.request
+    import wave
+
+    from ast_tpu.eval.inference import StyleTransferPipeline
+    from ast_tpu.serve import TransferServer
+
+    bundle = load_eval_bundle(cfg, checkpoint_dir=str(tmp_path / "ckpt"),
+                              sections_per_clip=S)
+    assert bundle.class_prototypes is not None  # persisted by the train loop
+    pipe = StyleTransferPipeline.from_variables(
+        cfg, bundle.state.content, bundle.state.decoder,
+        bundle.class_prototypes)
+    srv = TransferServer(pipe, port=0, max_seconds=10.0,
+                         bucket_seconds=cfg.audio.clip_seconds)
+    srv.start_background()
+    try:
+        host, port = srv.address[:2]
+        wav_path = os.path.join(fixture_dir, "piano",
+                                sorted(os.listdir(os.path.join(
+                                    fixture_dir, "piano")))[0])
+        req = urllib.request.Request(
+            f"http://{host}:{port}/transfer?target=violin",
+            data=open(wav_path, "rb").read(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            with wave.open(io.BytesIO(r.read()), "rb") as w:
+                assert w.getnframes() > 0
+    finally:
+        srv.shutdown()
