@@ -130,8 +130,13 @@ class StyleTransferPipeline:
 
     # ------------------------------------------------------------------
 
-    @functools.cached_property
-    def _jitted_core(self):
+    def _build_core(self, mesh=None):
+        """Single-clip fused core. With a mesh, the window axis S is sharded
+        across the mesh's "data" axis between two GSPMD sharding constraints
+        — sequence parallelism for long clips: the per-window CNN (the bulk
+        of encoder FLOPs at minute scale) runs partitioned, XLA inserts the
+        all-gather where the transformer attends over the full sequence, and
+        the (tiny) AR decode + OLA run replicated."""
         cfg = self.cfg
 
         @functools.partial(jax.jit, static_argnames=("n_samples", "overlap"))
@@ -156,7 +161,18 @@ class StyleTransferPipeline:
                 feats, window_size=a.window_size, overlap_frames=overlap)
             S = sections.shape[0]
 
-            content_emb = self.content.apply(content_vars, sections[None])
+            batched = sections[None]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batched = jax.lax.with_sharding_constraint(
+                    batched, NamedSharding(mesh, P(None, "data")))
+            content_emb = self.content.apply(content_vars, batched)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                content_emb = jax.lax.with_sharding_constraint(
+                    content_emb, NamedSharding(mesh, P()))
             class_emb = class_embeddings[target_class_id][None]  # (1, d)
             out = autoregressive_decode(self.decoder, decoder_vars,
                                         content_emb, class_emb, S)  # (1,S,2,W,513)
@@ -166,6 +182,41 @@ class StyleTransferPipeline:
             return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
 
         return core
+
+    @functools.cached_property
+    def _jitted_core(self):
+        return self._build_core(mesh=None)
+
+    @functools.cached_property
+    def _sp_cores(self):
+        return {}
+
+    def _jitted_sp_core(self, mesh):
+        if mesh not in self._sp_cores:
+            self._sp_cores[mesh] = self._build_core(mesh=mesh)
+        return self._sp_cores[mesh]
+
+    def process_audio_sp(self, waveform, target_class_id: int, mesh=None,
+                         overlap: Optional[int] = None) -> np.ndarray:
+        """Sequence-parallel single-clip transfer over a device mesh.
+
+        Shards the window axis S of one (long) clip across the mesh's "data"
+        axis — the multi-chip path for minute-scale audio where S reaches
+        the hundreds (the batch-parallel serving path shards clips, this
+        shards WITHIN a clip). Numerically identical to process_audio
+        (capability extension; the reference is strictly single-device,
+        SURVEY.md §2.3)."""
+        from ast_tpu.parallel import make_mesh
+
+        mesh = make_mesh() if mesh is None else mesh
+        wav = jnp.asarray(np.asarray(waveform, np.float32))
+        out = self._jitted_sp_core(mesh)(
+            wav, self.class_embeddings, jnp.asarray(target_class_id),
+            self.content_vars, self.decoder_vars,
+            n_samples=int(wav.shape[-1]), overlap=int(
+                self.cfg.audio.eval_overlap_frames if overlap is None
+                else overlap))
+        return np.asarray(out)
 
     @functools.cached_property
     def _jitted_batch_core(self):

@@ -10,9 +10,13 @@ torch.distributed anywhere); parallelism here is a green-field TPU design:
   each, SimpleDecoder_TransformerOnly.py:13-17) sharded on "model" — the only
   tensors worth tensor-parallelism at this scale. Everything else replicates.
 
-Pipeline/sequence/expert parallelism are not applicable at 154M params / S≈4
-sequence length; the mesh API carries the axes so they can be added without
-interface changes."""
+Sequence parallelism applies at minute scale, where the window count S
+reaches the hundreds: StyleTransferPipeline.process_audio_sp shards ONE
+clip's window axis across "data" (GSPMD constraints around the per-window
+CNN; XLA inserts the all-gather for the tiny transformer). Pipeline/expert
+parallelism are not applicable at 154M params with a 4-layer decoder; the
+mesh API carries the axes so they could be added without interface
+changes."""
 
 from __future__ import annotations
 

@@ -166,6 +166,36 @@ def test_sharded_batch_inference(rng):
     np.testing.assert_allclose(out_tp, expected, atol=2e-4)
 
 
+def test_sequence_parallel_long_clip(rng):
+    """Sequence-parallel single-clip path: process_audio_sp shards the
+    window axis S of ONE long clip across the mesh's data axis (GSPMD
+    constraints around the per-window CNN) and matches the unsharded
+    process_audio output."""
+    from ast_tpu.config import AudioConfig
+    from ast_tpu.eval.inference import StyleTransferPipeline
+
+    audio = AudioConfig(sample_rate=4000, clip_seconds=4.0, n_fft=64,
+                        hop_length=64, cqt_bins=12, cqt_fmin=200.0,
+                        window_size=16, overlap_frames=5, eval_overlap_frames=5)
+    model = dataclasses.replace(ModelConfig().tiny(), window_size=16,
+                                stft_bins=audio.stft_bins,
+                                feat_bins=audio.feat_bins)
+    cfg = dataclasses.replace(Config(), audio=audio, model=model)
+    pipe = StyleTransferPipeline.init_random(cfg, seed=0)
+
+    wav = rng.standard_normal(int(audio.clip_samples)).astype(np.float32)
+    S = audio.num_windows(audio.frames_per_clip, audio.eval_overlap_frames)
+    assert S >= 8, S  # long enough that every mesh shard holds windows
+
+    expected = pipe.process_audio(wav, 1)
+    out = pipe.process_audio_sp(wav, 1, mesh=make_mesh((8, 1)))
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(out, expected, atol=2e-4)
+    # a (4,2) mesh (data axis 4, S=... not divisible is fine: GSPMD pads)
+    out2 = pipe.process_audio_sp(wav, 1, mesh=make_mesh((4, 2)))
+    np.testing.assert_allclose(out2, expected, atol=2e-4)
+
+
 def test_distributed_helpers_single_process():
     from ast_tpu.parallel import initialize_distributed, local_batch_slice, process_info
 
