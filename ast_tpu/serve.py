@@ -87,9 +87,10 @@ class TransferServer:
             if error:
                 self._errors += 1
 
-    def _handle_audio(self, body: bytes, target: str) -> bytes:
-        """wav/mp3 bytes -> transferred wav bytes. Raises ValueError on bad
-        input."""
+    def _handle_audio(self, body: bytes, target: str,
+                      mp3_out: bool = False) -> bytes:
+        """wav/mp3 bytes -> transferred wav (or mp3-192k) bytes. Raises
+        ValueError on bad input."""
         if target not in NAME_TO_ID:
             raise ValueError(f"unknown target {target!r}; "
                              f"expected one of {sorted(NAME_TO_ID)}")
@@ -118,13 +119,26 @@ class TransferServer:
             with self._device_lock:
                 out = self.pipe.transfer_any_length(
                     wav, target, bucket_seconds=self.bucket_seconds)
-            out_path = os.path.join(td, "out.wav")
-            write_wav(out_path, np.clip(out, -1.0, 1.0), a.sample_rate)
+            out = np.clip(out, -1.0, 1.0)
+            if mp3_out:
+                from ast_tpu.data.audio_io import write_mp3
+
+                out_path = os.path.join(td, "out.mp3")
+                try:
+                    write_mp3(out_path, out, a.sample_rate)  # native lame, 192k
+                except Exception as e:
+                    # e.g. a sample rate off the MP3 grid
+                    raise ValueError(f"mp3 encode failed: {e}") from None
+            else:
+                out_path = os.path.join(td, "out.wav")
+                write_wav(out_path, out, a.sample_rate)
             with open(out_path, "rb") as f:
                 return f.read()
 
     def _healthz(self) -> dict:
         import jax
+
+        from ast_tpu.data.audio_io import mp3_supported
 
         return {
             "status": "ok",
@@ -133,6 +147,7 @@ class TransferServer:
             "targets": sorted(NAME_TO_ID),
             "max_seconds": self.max_seconds,
             "bucket_seconds": self.bucket_seconds,
+            "mp3": mp3_supported(),
         }
 
     def _statsz(self) -> dict:
@@ -196,18 +211,28 @@ class TransferServer:
                                     {"error": f"bad Content-Length {n}"})
                     return
                 body = self.rfile.read(n)
+                mp3_out = "audio/mpeg" in (self.headers.get("Accept") or "")
+                if mp3_out:
+                    from ast_tpu.data.audio_io import mp3_supported
+
+                    if not mp3_supported():
+                        server._record(path.lstrip("/"), error=True)
+                        self._send_json(406, {
+                            "error": "mp3 output unavailable "
+                                     "(system libmp3lame not found)"})
+                        return
                 t0 = time.perf_counter()
                 try:
                     # /reconstruct is the same-class decode (the notebook's
                     # cell-5 behavior): identical compute path, caller sets
                     # target = the source class
-                    out = server._handle_audio(body, target)
+                    out = server._handle_audio(body, target, mp3_out=mp3_out)
                 except ValueError as e:
                     server._record(path.lstrip("/"), error=True)
                     self._send_json(400, {"error": str(e)})
                     return
                 server._record(path.lstrip("/"), time.perf_counter() - t0)
-                self._send(200, out, "audio/wav")
+                self._send(200, out, "audio/mpeg" if mp3_out else "audio/wav")
 
         return Handler
 

@@ -108,6 +108,40 @@ def test_concurrent_requests(server):
     assert codes == [200] * 8
 
 
+def test_mp3_response(server):
+    """Accept: audio/mpeg returns an mp3 body when the native encoder is
+    available, 406 otherwise."""
+    from ast_tpu.data.audio_io import mp3_supported, read_mp3
+
+    sr = TINY_AUDIO.sample_rate
+    rng = np.random.default_rng(9)
+    wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)).astype(np.float32)
+    req = urllib.request.Request(
+        server + "/transfer?target=violin", data=_wav_bytes(wav, sr),
+        method="POST", headers={"Accept": "audio/mpeg"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            status, body, ctype = r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        status, body, ctype = e.code, e.read(), None
+    if not mp3_supported():
+        assert status == 406
+        return
+    # TINY sample rate 4000 Hz is off the MP3 grid -> lame may refuse; the
+    # daemon then surfaces a 400 rather than crashing
+    if status == 400:
+        assert b"error" in body
+        return
+    assert status == 200 and ctype == "audio/mpeg"
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
+        f.write(body)
+        f.flush()
+        decoded, dsr = read_mp3(f.name)
+        assert decoded.size > 0
+
+
 def test_stats_endpoint(server):
     with urllib.request.urlopen(server + "/stats", timeout=30) as r:
         s = json.loads(r.read())
