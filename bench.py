@@ -44,26 +44,15 @@ def main():
         (B, cfg.audio.clip_samples))).astype(np.float32)
     targets = np.ones(B, np.int64)
 
-    # warmup / compile the single-clip path
-    out1 = pipe.transfer(clips_np[0], "violin")
-    assert np.isfinite(out1).all()
-    _mark("single-clip core compiled")
-
-    # single-clip end-to-end latency (host wav in -> host wav out)
-    lat_iters = 8
-    t0 = time.perf_counter()
-    for i in range(lat_iters):
-        out = pipe.process_audio(clips_np[i % B], 1)
-    latency_ms = (time.perf_counter() - t0) / lat_iters * 1000
-    _mark(f"single-clip latency: {latency_ms:.1f} ms")
-
-    # batched end-to-end throughput (the serving path: B clips per device
-    # call, int16 PCM wire format, host transfer included). Three serving
-    # configurations are measured — sequential batch calls at B and 2B
-    # (larger batches amortize the link's per-RPC overhead) and the
-    # pipelined transfer_stream (depth>1 keeps batches in flight; wins when
-    # the transport allows overlapping upload with compute, loses when it
-    # serializes RPCs) — and the best one is the headline.
+    # batched end-to-end throughput FIRST — it is the headline metric, and
+    # the remote compile service's latency variance is huge (27s..17min for
+    # the same program), so the headline's one required compile must come
+    # before every optional extra. Serving path: B clips per device call,
+    # int16 PCM wire format, host transfer included. Three configurations —
+    # sequential batch calls at B and 2B (larger batches amortize the
+    # link's per-RPC overhead) and the pipelined transfer_stream (depth>1
+    # keeps batches in flight; wins when the transport allows overlapping
+    # upload with compute, loses when it serializes RPCs) — best wins.
     pcm = np.clip(np.round(clips_np * 32768.0), -32768, 32767).astype(np.int16)
 
     def seq_throughput(batch: int, n_windows: int = 2, iters: int = 3):
@@ -84,12 +73,6 @@ def main():
         return thr
 
     seq_by_batch = {B: seq_throughput(B)}
-    # the 2B configuration amortizes per-RPC overhead further, but costs one
-    # more remote compile — the compile service's latency variance is huge
-    # (the same program has compiled in 27s and in 17min), so only attempt
-    # it while the run is comfortably inside the bench window
-    if time.perf_counter() - _T0 < 420:
-        seq_by_batch[2 * B] = seq_throughput(2 * B)
 
     n_stream = 4 * B
     stream_clips = np.tile(pcm, (4, 1))
@@ -104,21 +87,41 @@ def main():
     stream_clips_per_sec = max(stream_windows)
     _mark(f"pipelined stream: {stream_clips_per_sec:.1f} clips/s")
 
+    # optional extras, each behind a time gate (one more remote compile
+    # apiece; skipped on a catastrophic-compile day so the headline and the
+    # JSON line always land)
+    if time.perf_counter() - _T0 < 420:
+        seq_by_batch[2 * B] = seq_throughput(2 * B)
+
     clips_per_sec = max(*seq_by_batch.values(), stream_clips_per_sec)
 
-    # pure device compute (inputs/outputs resident, sync once at end)
-    clip_dev = jnp.asarray(clips_np[0])
-    core = pipe._jitted_core
-    t = jnp.asarray(1)
-    one = lambda x: core(x, pipe.class_embeddings, t, pipe.content_vars,
-                         pipe.decoder_vars, n_samples=cfg.audio.clip_samples,
-                         overlap=cfg.audio.eval_overlap_frames)
-    jax.block_until_ready(one(clip_dev))
-    t0 = time.perf_counter()
-    outs = [one(clip_dev) for _ in range(50)]
-    jax.block_until_ready(outs)
-    device_ms = (time.perf_counter() - t0) / 50 * 1000
-    _mark(f"single-clip device compute: {device_ms:.2f} ms")
+    latency_ms = None
+    device_ms = None
+    if time.perf_counter() - _T0 < 600:
+        # single-clip core: end-to-end latency + pure device compute
+        out1 = pipe.transfer(clips_np[0], "violin")
+        assert np.isfinite(out1).all()
+        _mark("single-clip core compiled")
+        lat_iters = 8
+        t0 = time.perf_counter()
+        for i in range(lat_iters):
+            out = pipe.process_audio(clips_np[i % B], 1)
+        latency_ms = (time.perf_counter() - t0) / lat_iters * 1000
+        _mark(f"single-clip latency: {latency_ms:.1f} ms")
+
+        clip_dev = jnp.asarray(clips_np[0])
+        core = pipe._jitted_core
+        t = jnp.asarray(1)
+        one = lambda x: core(x, pipe.class_embeddings, t, pipe.content_vars,
+                             pipe.decoder_vars,
+                             n_samples=cfg.audio.clip_samples,
+                             overlap=cfg.audio.eval_overlap_frames)
+        jax.block_until_ready(one(clip_dev))
+        t0 = time.perf_counter()
+        outs = [one(clip_dev) for _ in range(50)]
+        jax.block_until_ready(outs)
+        device_ms = (time.perf_counter() - t0) / 50 * 1000
+        _mark(f"single-clip device compute: {device_ms:.2f} ms")
 
     # batched device compute per clip (the serving number: B=32 resident)
     pcm_dev = jnp.asarray(pcm)
@@ -144,9 +147,11 @@ def main():
         "sequential_clips_per_sec": {str(b): round(v, 3)
                                      for b, v in seq_by_batch.items()},
         "pipelined_clips_per_sec": round(stream_clips_per_sec, 3),
-        "single_clip_latency_ms": round(latency_ms, 2),
+        "single_clip_latency_ms": (round(latency_ms, 2)
+                                   if latency_ms is not None else None),
         "device_compute_ms_per_clip": round(batch_device_ms, 3),
-        "single_clip_device_ms": round(device_ms, 3),
+        "single_clip_device_ms": (round(device_ms, 3)
+                                  if device_ms is not None else None),
         "batch_size": B,
     }
     print(json.dumps(result))
