@@ -58,6 +58,20 @@ class TransferServer:
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
 
+    def warmup(self, seconds=(10.0,)) -> None:
+        """Precompile the length-bucket programs for the given clip lengths
+        so the first real request doesn't pay the compile (minutes through a
+        relay-attached chip). Each distinct bucket is one program; lengths in
+        the same bucket share it."""
+        sr = self.pipe.cfg.audio.sample_rate
+        for s in seconds:
+            wav = np.zeros(max(1, int(float(s) * sr)), np.float32)
+            with self._device_lock:
+                # the target id is a traced argument, so one call per bucket
+                # compiles the program for every target
+                self.pipe.transfer_any_length(
+                    wav, "violin", bucket_seconds=self.bucket_seconds)
+
     # ------------------------------------------------------------------
 
     @property
@@ -154,7 +168,8 @@ class TransferServer:
         with self._stats_lock:
             lat = sorted(self._latencies)
             q = (lambda p: round(lat[min(len(lat) - 1,
-                                         int(p * len(lat)))] * 1000, 2)
+                                         int(round(p * (len(lat) - 1))))]
+                                 * 1000, 2)
                  ) if lat else (lambda p: None)
             return {
                 "requests": dict(self._requests),
@@ -246,6 +261,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--max-seconds", type=float, default=300.0)
     p.add_argument("--bucket-seconds", type=float, default=5.0)
+    p.add_argument("--warmup", default=None, metavar="SECONDS[,SECONDS...]",
+                   help="precompile these clip-length buckets before "
+                        "accepting traffic (e.g. --warmup 10,60)")
     args = p.parse_args(argv)
 
     import jax
@@ -264,6 +282,10 @@ def main(argv=None):
     server = TransferServer(pipe, host=args.host, port=args.port,
                             max_seconds=args.max_seconds,
                             bucket_seconds=args.bucket_seconds)
+    if args.warmup:
+        lengths = [float(s) for s in args.warmup.split(",") if s]
+        print(f"warming up {len(lengths)} length bucket(s)...")
+        server.warmup(lengths)
     host, port = server.address[:2]
     print(f"serving on http://{host}:{port}  "
           f"(POST /transfer?target=violin, GET /healthz)")

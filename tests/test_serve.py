@@ -108,6 +108,31 @@ def test_concurrent_requests(server):
     assert codes == [200] * 8
 
 
+def test_warmup_precompiles_bucket(server):
+    """After warmup(seconds), a request of a length in the same bucket is
+    served without further compilation (and fast)."""
+    import time
+
+    pipe = StyleTransferPipeline.init_random(TINY, seed=1)
+    srv = TransferServer(pipe, port=0, max_seconds=60.0,
+                         bucket_seconds=TINY_AUDIO.clip_seconds)
+    srv.start_background()
+    try:
+        srv.warmup([TINY_AUDIO.clip_seconds])
+        host, port = srv.address[:2]
+        sr = TINY_AUDIO.sample_rate
+        wav = np.zeros(TINY_AUDIO.clip_samples, np.float32)
+        t0 = time.perf_counter()
+        status, _, _ = _post(f"http://{host}:{port}/transfer?target=piano",
+                             _wav_bytes(wav, sr))
+        dt = time.perf_counter() - t0
+        assert status == 200
+        # compiled path: well under the ~seconds a tiny-config compile takes
+        assert dt < 2.0, dt
+    finally:
+        srv.shutdown()
+
+
 def test_mp3_response(server):
     """Accept: audio/mpeg returns an mp3 body when the native encoder is
     available, 406 otherwise."""
