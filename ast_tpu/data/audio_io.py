@@ -98,6 +98,10 @@ def audio_info(path: str) -> Tuple[int, int, int, str]:
                               ctypes.byref(n), ctypes.byref(kind)) == 0:
             return sr.value, ch.value, n.value, {1: "wav", 2: "mp3"}[kind.value]
         if kind.value == 2:
+            if lib.ast_mp3_decode_available() == 0:
+                # libmpg123 loaded fine — the FILE is the problem
+                raise RuntimeError(f"{path}: unreadable mp3 stream "
+                                   "(truncated or unsupported)")
             raise RuntimeError(
                 f"{path}: mp3 detected but native mp3 decode is unavailable "
                 "(system libmpg123 not found)")

@@ -51,9 +51,13 @@ class TransferServer:
         self.bucket_seconds = float(bucket_seconds)
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
+        import collections
+
         self._requests = {}   # endpoint -> count
         self._errors = 0
-        self._latencies = []  # seconds, transfer endpoints only
+        # bounded: a long-lived daemon must not grow a float per request
+        # forever (and /stats sorts this under the stats lock)
+        self._latencies = collections.deque(maxlen=10000)
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
@@ -193,11 +197,22 @@ class TransferServer:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                if self.close_connection:
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(body)
 
             def _send_json(self, code: int, obj: dict):
                 self._send(code, json.dumps(obj).encode(), "application/json")
+
+            def _reject(self, code: int, obj: dict):
+                """Error response on a path where the request body was NOT
+                consumed: an HTTP/1.1 keep-alive peer would otherwise have
+                its unread body bytes parsed as the next request line. Close
+                the connection instead of draining arbitrarily large
+                bodies."""
+                self.close_connection = True
+                self._send_json(code, obj)
 
             def do_GET(self):
                 path = urlparse(self.path).path
@@ -214,27 +229,40 @@ class TransferServer:
                 parsed = urlparse(self.path)
                 path = parsed.path
                 if path not in ("/transfer", "/reconstruct"):
-                    self._send_json(404, {"error": f"unknown path {path}"})
+                    self._reject(404, {"error": f"unknown path {path}"})
                     return
                 q = parse_qs(parsed.query)
                 target = q.get("target", [""])[0]
                 n = int(self.headers.get("Content-Length", 0))
-                max_bytes = int(server.max_seconds * 48000 * 4) + (1 << 12)
+                # worst supported upload: max_seconds of 96 kHz stereo
+                # float32 wav (load_audio downmixes/resamples/caps anyway)
+                max_bytes = int(server.max_seconds * 96000 * 2 * 4) + (1 << 12)
                 if n <= 0 or n > max_bytes:
                     server._record(path.lstrip("/"), error=True)
-                    self._send_json(413 if n > 0 else 400,
-                                    {"error": f"bad Content-Length {n}"})
+                    self._reject(413 if n > 0 else 400,
+                                 {"error": f"bad Content-Length {n}"})
                     return
                 body = self.rfile.read(n)
                 mp3_out = "audio/mpeg" in (self.headers.get("Accept") or "")
                 if mp3_out:
                     from ast_tpu.data.audio_io import mp3_supported
+                    from ast_tpu.tools.segment import MP3_SAMPLE_RATES
 
+                    sr = server.pipe.cfg.audio.sample_rate
                     if not mp3_supported():
                         server._record(path.lstrip("/"), error=True)
                         self._send_json(406, {
                             "error": "mp3 output unavailable "
                                      "(system libmp3lame not found)"})
+                        return
+                    if sr not in MP3_SAMPLE_RATES:
+                        # lame would silently resample off-grid rates rather
+                        # than fail; refuse instead of shipping audio at a
+                        # different rate than advertised
+                        server._record(path.lstrip("/"), error=True)
+                        self._send_json(406, {
+                            "error": f"mp3 output unavailable: pipeline "
+                                     f"rate {sr} is off the MPEG grid"})
                         return
                 t0 = time.perf_counter()
                 try:
@@ -245,6 +273,11 @@ class TransferServer:
                 except ValueError as e:
                     server._record(path.lstrip("/"), error=True)
                     self._send_json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # device/runtime failure -> 500
+                    server._record(path.lstrip("/"), error=True)
+                    self._send_json(500, {
+                        "error": f"{type(e).__name__}: {e}"})
                     return
                 server._record(path.lstrip("/"), time.perf_counter() - t0)
                 self._send(200, out, "audio/mpeg" if mp3_out else "audio/wav")

@@ -133,38 +133,85 @@ def test_warmup_precompiles_bucket(server):
         srv.shutdown()
 
 
-def test_mp3_response(server):
-    """Accept: audio/mpeg returns an mp3 body when the native encoder is
-    available, 406 otherwise."""
-    from ast_tpu.data.audio_io import mp3_supported, read_mp3
-
-    sr = TINY_AUDIO.sample_rate
-    rng = np.random.default_rng(9)
-    wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)).astype(np.float32)
-    req = urllib.request.Request(
-        server + "/transfer?target=violin", data=_wav_bytes(wav, sr),
-        method="POST", headers={"Accept": "audio/mpeg"})
+def _post_accept_mp3(url, body):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Accept": "audio/mpeg"})
     try:
         with urllib.request.urlopen(req, timeout=120) as r:
-            status, body, ctype = r.status, r.read(), r.headers.get("Content-Type")
+            return r.status, r.read(), r.headers.get("Content-Type")
     except urllib.error.HTTPError as e:
-        status, body, ctype = e.code, e.read(), None
-    if not mp3_supported():
-        assert status == 406
-        return
-    # TINY sample rate 4000 Hz is off the MP3 grid -> lame may refuse; the
-    # daemon then surfaces a 400 rather than crashing
-    if status == 400:
-        assert b"error" in body
-        return
-    assert status == 200 and ctype == "audio/mpeg"
+        return e.code, e.read(), None
+
+
+def test_mp3_response_off_grid_rate(server):
+    """The fixture pipeline runs at 4000 Hz — off the MPEG rate grid — so
+    Accept: audio/mpeg must be refused (lame would silently resample rather
+    than fail) with 406 either way (no lame, or off-grid rate)."""
+    sr = TINY_AUDIO.sample_rate
+    wav = np.zeros(TINY_AUDIO.clip_samples, np.float32)
+    status, body, _ = _post_accept_mp3(server + "/transfer?target=violin",
+                                       _wav_bytes(wav, sr))
+    assert status == 406, body
+
+
+def test_mp3_response_on_grid_rate():
+    """A pipeline at an MPEG-grid rate (8000 Hz) returns a decodable mp3
+    body for Accept: audio/mpeg when the native encoder is available."""
+    import dataclasses
     import tempfile
 
-    with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
-        f.write(body)
-        f.flush()
-        decoded, dsr = read_mp3(f.name)
-        assert decoded.size > 0
+    from ast_tpu.config import AudioConfig, Config, ModelConfig
+    from ast_tpu.data.audio_io import mp3_supported, read_mp3
+    from ast_tpu.eval.inference import StyleTransferPipeline
+
+    audio = AudioConfig(sample_rate=8000, clip_seconds=0.5, n_fft=64,
+                        hop_length=64, cqt_bins=12, cqt_fmin=200.0,
+                        window_size=16, overlap_frames=5,
+                        eval_overlap_frames=5)
+    model = dataclasses.replace(ModelConfig().tiny(), window_size=16,
+                                stft_bins=audio.stft_bins,
+                                feat_bins=audio.feat_bins)
+    cfg = Config(audio=audio, model=model)
+    pipe = StyleTransferPipeline.init_random(cfg, seed=0)
+    srv = TransferServer(pipe, port=0, max_seconds=30.0,
+                         bucket_seconds=audio.clip_seconds)
+    srv.start_background()
+    try:
+        host, port = srv.address[:2]
+        wav = np.zeros(audio.clip_samples, np.float32)
+        status, body, ctype = _post_accept_mp3(
+            f"http://{host}:{port}/transfer?target=violin",
+            _wav_bytes(wav, audio.sample_rate))
+        if not mp3_supported():
+            assert status == 406
+            return
+        assert status == 200 and ctype == "audio/mpeg", body
+        with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
+            f.write(body)
+            f.flush()
+            decoded, dsr = read_mp3(f.name)
+            assert decoded.size > 0 and dsr == audio.sample_rate
+    finally:
+        srv.shutdown()
+
+
+def test_oversized_body_closes_connection(server):
+    """A 413 on an unconsumed body must close the keep-alive connection —
+    otherwise the unread body bytes would be parsed as the next request."""
+    import http.client
+
+    host = server.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=30)
+    try:
+        conn.putrequest("POST", "/transfer?target=violin")
+        conn.putheader("Content-Length", str(10 ** 10))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        resp.read()
+        assert resp.will_close
+    finally:
+        conn.close()
 
 
 def test_stats_endpoint(server):
