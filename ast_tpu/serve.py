@@ -194,13 +194,18 @@ class TransferServer:
                 pass
 
             def _send(self, code: int, body: bytes, ctype: str):
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                if self.close_connection:
-                    self.send_header("Connection", "close")
-                self.end_headers()
-                self.wfile.write(body)
+                try:
+                    self.send_response(code)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    if self.close_connection:
+                        self.send_header("Connection", "close")
+                    self.end_headers()
+                    self.wfile.write(body)
+                except (BrokenPipeError, ConnectionResetError):
+                    # client gave up (e.g. timed out while queued behind a
+                    # warmup/compile); not a server error — drop quietly
+                    self.close_connection = True
 
             def _send_json(self, code: int, obj: dict):
                 self._send(code, json.dumps(obj).encode(), "application/json")
