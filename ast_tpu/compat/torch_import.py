@@ -199,14 +199,14 @@ def load_torch_checkpoint(path: str) -> Dict[str, Dict]:
 def _sn_convT(sd: Dict, prefix: str) -> Dict:
     """Spectral-norm ConvTranspose2d params from torch names.
 
-    torch power-iterates ConvTranspose weights along dim=1 (u in R^out) while
-    our reshape puts u in R^in — sigma is the same singular value either way,
-    so u is re-seeded (it reconverges in a few steps) instead of imported."""
+    torch power-iterates ConvTranspose weights along dim=1 — u in R^out for
+    the (in, out, kh, kw) weight. SNConvTranspose unfolds its (kh, kw, out,
+    in) kernel by the same out axis, so torch's weight_u imports verbatim."""
     w = sd[f"{prefix}.weight_orig"]
     return {
         "params": {"kernel": _convT(w),
                    "bias": np.asarray(sd[f"{prefix}.bias"])},
-        "spectral": {"u": np.ones(np.asarray(w).shape[0], np.float32)},
+        "spectral": {"u": np.asarray(sd[f"{prefix}.weight_u"])},
     }
 
 

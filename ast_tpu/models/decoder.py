@@ -99,8 +99,13 @@ class SNConvTranspose(nn.Module):
                             (*self.kernel_size, self.features, in_feat), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
-        w_mat = kernel.reshape(-1, kernel.shape[-1])
-        u_var = self.variable("spectral", "u", lambda: jnp.ones((kernel.shape[-1],)))
+        # torch spectral_norm uses dim=1 (the out-channel axis) for
+        # ConvTranspose weights (in, out, kh, kw) -> matrix (out, in*kh*kw).
+        # Our (kh, kw, out, in) kernel must therefore be unfolded by the OUT
+        # axis — (kh*kw*in, out), the transpose up to column permutation —
+        # so sigma matches torch's and torch's weight_u imports verbatim.
+        w_mat = jnp.moveaxis(kernel, 2, -1).reshape(-1, self.features)
+        u_var = self.variable("spectral", "u", lambda: jnp.ones((self.features,)))
         u = u_var.value / (jnp.linalg.norm(u_var.value) + 1e-12)
         v = w_mat @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
@@ -189,9 +194,12 @@ class ConvFrameCodec(nn.Module):
             x = bn(x, use_running_average=not train)
             x = nn.relu(x)
         x = self.dec_out(x, update_stats=train)  # (B*S, 512, 256, 2)
+        # torch nn.Upsample(bilinear, align_corners=False) never antialiases;
+        # jax.image.resize defaults antialias=True, which matters here because
+        # the H axis (512 -> 287) is a downsample (new_decoder.py:99).
         x = jax.image.resize(
             x, (x.shape[0], self.cfg.window_size, self.cfg.stft_bins, x.shape[-1]),
-            method="bilinear")
+            method="bilinear", antialias=False)
         x = x.transpose(0, 3, 1, 2)  # -> (B*S, 2, H, W)
         return x.reshape(B, S, 2, self.cfg.window_size, self.cfg.stft_bins)
 

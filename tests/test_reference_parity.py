@@ -39,6 +39,7 @@ import style_encoder as ref_style_mod  # noqa: E402
 
 from ast_tpu.compat.torch_import import (  # noqa: E402
     convert_content_encoder,
+    convert_conv_decoder,
     convert_discriminator,
     convert_simple_decoder,
     convert_style_encoder,
@@ -61,11 +62,18 @@ def _converge_spectral(model: torch.nn.Module, iters: int = 80) -> None:
     torch stores (weight_u, weight_v) and in eval mode uses them as-is; our
     SNConv does one Rayleigh refinement from the imported u. The two agree
     exactly at the power-iteration fixed point, so converge torch first
-    (same recipe torch itself applies once per train-mode forward)."""
+    (same recipe torch itself applies once per train-mode forward). torch
+    unfolds along dim=1 for ConvTranspose modules (its spectral_norm
+    default), dim=0 otherwise — mirror that here."""
     with torch.no_grad():
         for m in model.modules():
             if hasattr(m, "weight_orig"):
-                mat = m.weight_orig.reshape(m.weight_orig.shape[0], -1)
+                w = m.weight_orig
+                if isinstance(m, (torch.nn.ConvTranspose1d,
+                                  torch.nn.ConvTranspose2d,
+                                  torch.nn.ConvTranspose3d)):
+                    w = w.permute(1, 0, *range(2, w.dim()))
+                mat = w.reshape(w.shape[0], -1)
                 u, v = m.weight_u.clone(), m.weight_v.clone()
                 for _ in range(iters):
                     v = tF.normalize(mat.t() @ u, dim=0)
@@ -171,6 +179,79 @@ def test_simple_decoder_autoregressive_parity(decoder_pair, rng):
                                 jnp.asarray(class_emb), S)
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
                                atol=1e-3, rtol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def conv_decoder_pair():
+    """Full-size reference new_decoder.Decoder (the epoch-70 secondary
+    checkpoint variant, checkpoints/read.txt:4) + converted variables.
+
+    The reference's own _init_weights zeroes every 1-D weight — including all
+    BatchNorm scales (new_decoder.py:134-143) — which would make most of the
+    conv stack output constants and the parity test vacuous. Re-randomize all
+    parameters and BN running stats first so every path carries signal."""
+    import new_decoder as ref_new_decoder_mod
+
+    torch.manual_seed(15)
+    ref = ref_new_decoder_mod.Decoder(dropout=0.0)
+    gen = torch.Generator().manual_seed(99)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+        for name, b in ref.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=gen) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=gen) + 0.5)
+    _converge_spectral(ref)
+    variables = convert_conv_decoder(_sd_numpy(ref))
+    ours = Decoder(FULL, codec="conv")
+    return ref, ours, variables
+
+
+def test_conv_decoder_teacher_forced_parity(conv_decoder_pair, rng):
+    """Teacher-forced forward vs the ACTUAL reference new_decoder.py
+    (new_decoder.py:231-269) at full size — conv codec: SN convs + BN +
+    AdaptiveAvgPool(32,16) encode, SN ConvTranspose + bilinear-upsample
+    decode (new_decoder.py:27-100)."""
+    ref, ours, variables = conv_decoder_pair
+    B, S = 2, 3
+    content = rng.standard_normal((B, S, 256)).astype(np.float32)
+    class_emb = rng.standard_normal((B, 256)).astype(np.float32)
+    y = (rng.standard_normal((B, S, 2, 287, 513)) * 0.5).astype(np.float32)
+
+    # call forward_training directly with the module in eval() so BatchNorm
+    # uses running stats on both sides (forward_training itself never
+    # branches on self.training, new_decoder.py:231-269)
+    ref.eval()
+    with torch.no_grad():
+        memory = ref.prepare_memory(torch.from_numpy(content),
+                                    torch.from_numpy(class_emb))
+        out_ref = ref.forward_training(torch.from_numpy(y), memory)
+
+    out = ours.apply(variables, jnp.asarray(content), jnp.asarray(class_emb),
+                     jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_conv_decoder_autoregressive_parity(conv_decoder_pair, rng):
+    """Our lax.scan KV-cache decode vs the reference's O(S^2) inference loop
+    (new_decoder.py:272-319) — full-size conv codec."""
+    ref, ours, variables = conv_decoder_pair
+    B, S = 2, 4
+    content = rng.standard_normal((B, S, 256)).astype(np.float32)
+    class_emb = rng.standard_normal((B, 256)).astype(np.float32)
+
+    ref.eval()
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(content), torch.from_numpy(class_emb),
+                      target_length=S)
+
+    out = autoregressive_decode(ours, variables, jnp.asarray(content),
+                                jnp.asarray(class_emb), S)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               atol=2e-3, rtol=1e-2)
 
 
 def test_discriminator_full_parity(rng):
