@@ -86,6 +86,32 @@ def _sd_numpy(model: torch.nn.Module):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
 
 
+def _randomize_reference_module(model: torch.nn.Module, seed: int) -> None:
+    """Give every parameter and BN running stat a non-degenerate random value.
+
+    The reference decoders' own _init_weights zero every 1-D weight —
+    including all LayerNorm/BatchNorm scales
+    (SimpleDecoder_TransformerOnly.py:47-55, new_decoder.py:134-143) — which
+    collapses the transformer to an identity map and the module output to
+    exactly 0 at fresh init. Parity tests against that degenerate point are
+    vacuous; randomize to realistic magnitudes first (norm scales ~1, biases
+    small, matrices xavier)."""
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if p.dim() > 1:
+                torch.nn.init.xavier_uniform_(p, gain=1.0)
+            elif name.endswith("weight"):  # LN/BN scales
+                p.uniform_(0.8, 1.2)
+            else:
+                p.normal_(0.0, 0.02)
+        for name, b in model.named_buffers():
+            if name.endswith("running_mean"):
+                b.normal_(0.0, 0.1)
+            elif name.endswith("running_var"):
+                b.uniform_(0.5, 1.5)
+
+
 # ---------------------------------------------------------------------------
 # module-level parity (the BASELINE "forward-pass parity" milestone)
 # ---------------------------------------------------------------------------
@@ -137,6 +163,7 @@ def decoder_pair():
     two decoder tests (the 151M-param module is expensive to build)."""
     torch.manual_seed(12)
     ref = ref_decoder_mod.Decoder(dropout=0.0)
+    _randomize_reference_module(ref, seed=98)
     variables = convert_simple_decoder(_sd_numpy(ref))
     ours = Decoder(FULL, codec="linear")
     return ref, ours, variables
@@ -194,15 +221,7 @@ def conv_decoder_pair():
 
     torch.manual_seed(15)
     ref = ref_new_decoder_mod.Decoder(dropout=0.0)
-    gen = torch.Generator().manual_seed(99)
-    with torch.no_grad():
-        for p in ref.parameters():
-            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
-        for name, b in ref.named_buffers():
-            if name.endswith("running_mean"):
-                b.copy_(torch.randn(b.shape, generator=gen) * 0.1)
-            elif name.endswith("running_var"):
-                b.copy_(torch.rand(b.shape, generator=gen) + 0.5)
+    _randomize_reference_module(ref, seed=99)
     _converge_spectral(ref)
     variables = convert_conv_decoder(_sd_numpy(ref))
     ours = Decoder(FULL, codec="conv")
