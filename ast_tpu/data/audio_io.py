@@ -63,6 +63,12 @@ def _native():
         lib.ast_mp3_write.restype = ctypes.c_int
         lib.ast_mp3_decode_available.restype = ctypes.c_int
         lib.ast_mp3_encode_available.restype = ctypes.c_int
+        lib.ast_load_audio_probed.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.ast_load_audio_probed.restype = ctypes.c_long
         return lib
     except Exception:
         return None
@@ -215,6 +221,38 @@ def load_audio(path: str, sample_rate: int = 22050,
     if wav.shape[0] >= 2:
         wav = wav.mean(axis=0, keepdims=True)
     return wav.astype(np.float32), sample_rate
+
+
+def load_audio_probed(path: str, sample_rate: int = 22050,
+                      max_seconds: float = 300.0, min_seconds: float = 0.05,
+                      ) -> Tuple[np.ndarray, int, int, str]:
+    """Serving ingest: decode wav/mp3 with clip length = the stream's own
+    duration clamped to [min_seconds, max_seconds], in ONE native call that
+    also returns the probe info — ((1, n) float32, sr_orig, n_frames, kind).
+
+    Unlike `load_audio` (the reference's fixed-10 s semantics,
+    utilityFunctions.py:105-122) this derives the cut from the file itself,
+    and an mp3 body is scanned once for headers + once for decode instead of
+    the 3 probe passes the separate audio_info + load_audio calls cost."""
+    lib = _native()
+    if lib is not None:
+        sr_o, kind_c = ctypes.c_int(), ctypes.c_int()
+        frames = ctypes.c_long()
+        max_out = int(math.ceil(max_seconds * sample_rate)) + 16
+        buf = np.zeros(max_out, np.float32)
+        got = lib.ast_load_audio_probed(
+            path.encode(), sample_rate, float(max_seconds), float(min_seconds),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_out,
+            ctypes.byref(sr_o), ctypes.byref(frames), ctypes.byref(kind_c))
+        if got >= 0:
+            return (buf[:got][None, :].copy(), sr_o.value, frames.value,
+                    {1: "wav", 2: "mp3"}.get(kind_c.value, "unknown"))
+        raise RuntimeError(f"audio decode failed for {path} (rc={got})")
+
+    sr, ch, n_frames, kind = audio_info(path)
+    seconds = min(max(n_frames / max(1, sr), min_seconds), max_seconds)
+    wav, _ = load_audio(path, sample_rate, seconds, use_native=False)
+    return wav, sr, n_frames, kind
 
 
 def write_wav(path: str, data: np.ndarray, sample_rate: int = 22050) -> None:

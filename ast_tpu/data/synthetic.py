@@ -31,46 +31,155 @@ def dummy_batches(batch_size: int = 16, sections: int = 4,
         yield x, labels
 
 
+# Physically-flavored synthesis. The reference trained on real piano/violin
+# corpora (Preprocessing_Dataset/README); no audio can be downloaded here, so
+# the fixture aims for instrument-like spectra instead of sine mixtures:
+# piano = Karplus-Strong struck strings (sharp attack, fast per-partial
+# decay, slight two-string detune), violin = bowed-string additive model
+# (sawtooth-weighted harmonics shaped by body formants, 5.5 Hz vibrato, bow
+# noise, slow attack). Transfer metrics (MFCC distance, instrumentation
+# similarity, evaluation_style_transfer.py:99-119) become directionally
+# meaningful on this fixture: the two classes have genuinely different
+# spectral envelopes and onset statistics.
+
+_SCALE = np.array([0, 2, 4, 5, 7, 9, 11, 12])  # major scale semitones
+
+
+def _melody(rng: np.random.Generator, dur: float, note_min: float,
+            note_max: float, base: float = 220.0):
+    """Random-walk melody over a major scale: [(onset_s, dur_s, freq_hz)]."""
+    notes = []
+    t0 = 0.0
+    deg = rng.integers(0, len(_SCALE))
+    while t0 < dur - 0.15:
+        step = int(rng.integers(-2, 3))
+        deg = int(np.clip(deg + step, 0, len(_SCALE) - 1))
+        note_dur = float(rng.uniform(note_min, note_max))
+        f = base * 2 ** (_SCALE[deg] / 12)
+        notes.append((t0, min(note_dur, dur - t0), f))
+        t0 += note_dur
+    return notes
+
+
+def _karplus_strong(f0: float, n: int, sr: int, rng: np.random.Generator,
+                    decay: float = 0.996, blend: float = 0.5) -> np.ndarray:
+    """Karplus-Strong plucked/struck string, vectorized period-by-period.
+
+    Each period is the average of the previous period and its one-sample
+    shift, scaled by `decay` — the classic y[n] = g*(y[n-L]+y[n-L-1])/2
+    comb+lowpass loop evaluated a whole period at a time."""
+    L = max(2, int(round(sr / f0)))
+    buf = rng.uniform(-1.0, 1.0, L)
+    # lowpass the excitation (felt hammer, not a metal pick): 3x 3-point MA
+    for _ in range(3):
+        buf = (buf + np.roll(buf, 1) + np.roll(buf, -1)) / 3.0
+    buf -= buf.mean()
+    buf /= np.abs(buf).max() + 1e-9
+    out = np.empty(n, np.float64)
+    pos = 0
+    prev = buf
+    while pos < n:
+        m = min(L, n - pos)
+        out[pos:pos + m] = prev[:m]
+        prev = decay * (blend * prev + (1 - blend) * np.roll(prev, 1))
+        pos += m
+    return out
+
+
+def _piano_clip(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+    """Struck-string clip: KS pairs slightly detuned, percussive envelope."""
+    dur = n / sr
+    clip = np.zeros(n)
+    # low register (the piano's energy mass sits low; KS damps highs fast)
+    for (t0, note_dur, f) in _melody(rng, dur, 0.2, 0.5, base=110.0):
+        i0 = int(t0 * sr)
+        # ring past the nominal note end, like a sustain pedal
+        m = min(n - i0, int(sr * min(2.5, note_dur * 4)))
+        if m <= 0:
+            continue
+        s = (_karplus_strong(f, m, sr, rng)
+             + 0.6 * _karplus_strong(f * 1.003, m, sr, rng)
+             + 0.5 * _karplus_strong(f * 2.0, m, sr, rng))  # octave double
+        tt = np.arange(m) / sr
+        hammer = 1.0 + 0.5 * np.exp(-tt * 40.0)  # attack transient
+        s *= np.exp(-tt * 1.6) * hammer
+        clip[i0:i0 + m] += 0.8 * s
+    return clip
+
+
+_FORMANTS = ((300.0, 1.0), (700.0, 0.9), (1800.0, 0.55), (3200.0, 0.35))
+
+
+def _violin_clip(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+    """Bowed-string clip: sawtooth-weighted additive harmonics with body
+    formant emphasis, 5.5 Hz vibrato, bow-noise floor, slow attacks."""
+    dur = n / sr
+    clip = np.zeros(n)
+    # violin register sits well above the piano walk (A4 base)
+    for (t0, note_dur, f) in _melody(rng, dur, 0.3, 0.8, base=440.0):
+        i0 = int(t0 * sr)
+        m = min(n - i0, int(note_dur * sr))
+        if m <= 0:
+            continue
+        tt = np.arange(m) / sr
+        vib = f * (1 + 0.007 * np.sin(2 * np.pi * 5.5 * tt + rng.uniform(0, 6)))
+        phase = 2 * np.pi * np.cumsum(vib) / sr
+        s = np.zeros(m)
+        for h in range(1, 16):
+            fh = f * h
+            if fh > 0.45 * sr:
+                break
+            # sawtooth 1/h roll-off shaped by the nearest body formant
+            w = max(0.08, max(g * np.exp(-((fh - fc) / fc) ** 2)
+                              for fc, g in _FORMANTS))
+            s += (w / h) * np.sin(h * phase)
+        # bow noise: white noise amplitude-modulated by the fundamental
+        noise = rng.standard_normal(m) * 0.02 * (1 + 0.5 * np.sin(phase))
+        env = np.minimum(1.0, tt / 0.06) * np.minimum(1.0, (note_dur - tt) / 0.05)
+        clip[i0:i0 + m] += (s + noise) * np.clip(env, 0, None)
+    # sympathetic open-string resonance (A4/E5): a quiet sustained layer that
+    # anchors the instrument's spectral signature across clips
+    tfull = np.arange(n) / sr
+    wobble = 1 + 0.15 * np.sin(2 * np.pi * 0.4 * tfull + rng.uniform(0, 6))
+    for fo in (440.0, 659.26):
+        for h in range(1, 8):
+            fh = fo * h
+            if fh > 0.45 * sr:
+                break
+            w = max(0.08, max(g * np.exp(-((fh - fc) / fc) ** 2)
+                              for fc, g in _FORMANTS))
+            clip += 0.10 * (w / h) * np.sin(2 * np.pi * fh * tfull) * wobble
+    return clip
+
+
 def make_wav_fixture(root: str, n_clips: int = 3,
                      cfg: AudioConfig = AudioConfig(), seed: int = 0,
                      seconds: float = None) -> Tuple[str, str]:
-    """Write deterministic synthetic piano/ violin-ish wav trees under `root`;
-    returns (piano_dir, violin_dir). Piano clips are decaying harmonic stacks,
-    violin clips are vibrato-modulated saw-ish tones — enough spectral
-    difference for smoke-level class separation."""
+    """Write deterministic synthetic piano/violin wav trees under `root`;
+    returns (piano_dir, violin_dir). Piano clips are Karplus-Strong struck
+    strings; violin clips are formant-shaped bowed-string tones — physically
+    flavored enough that instrumentation/MFCC transfer metrics separate the
+    classes (unlike sine mixtures)."""
     rng = np.random.default_rng(seed)
     sr = cfg.sample_rate
     dur = cfg.clip_seconds if seconds is None else seconds
     n = int(dur * sr)
-    t = np.arange(n) / sr
 
     piano_dir = os.path.join(root, "piano")
     violin_dir = os.path.join(root, "violin")
     os.makedirs(piano_dir, exist_ok=True)
     os.makedirs(violin_dir, exist_ok=True)
 
-    for i in range(n_clips):
-        f0 = 220.0 * 2 ** (rng.integers(0, 12) / 12)
-        piano = np.zeros(n)
-        for h in range(1, 6):
-            piano += (0.5 / h) * np.sin(2 * np.pi * f0 * h * t) * np.exp(-2.5 * t * h)
-        # re-strike some notes
-        for strike in rng.uniform(0.2, dur * 0.9, 3):
-            idx = int(strike * sr)
-            seg_t = t[: n - idx]
-            piano[idx:] += 0.4 * np.sin(2 * np.pi * f0 * 1.5 * seg_t) * np.exp(-3 * seg_t)
-        write_wav(os.path.join(piano_dir, f"piano_{i:03d}.wav"),
-                  0.8 * piano / (np.max(np.abs(piano)) + 1e-9), sr)
+    def _norm(x: np.ndarray) -> np.ndarray:
+        # RMS normalization (the reference preprocesses its violin corpus to
+        # RMS 0.07, unifies_violin_datasets.py:24-30) + peak safety clip
+        x = x * (0.1 / (np.sqrt((x ** 2).mean()) + 1e-9))
+        return np.clip(x, -0.99, 0.99)
 
-        f1 = 330.0 * 2 ** (rng.integers(0, 12) / 12)
-        vib = f1 * (1 + 0.008 * np.sin(2 * np.pi * 5.5 * t))
-        phase = 2 * np.pi * np.cumsum(vib) / sr
-        violin = np.zeros(n)
-        for h in range(1, 9):
-            violin += (0.6 / h) * np.sin(h * phase)
-        env = np.minimum(1.0, t * 8) * np.minimum(1.0, (dur - t) * 4)
-        violin *= env
+    for i in range(n_clips):
+        write_wav(os.path.join(piano_dir, f"piano_{i:03d}.wav"),
+                  _norm(_piano_clip(rng, n, sr)), sr)
         write_wav(os.path.join(violin_dir, f"violin_{i:03d}.wav"),
-                  0.8 * violin / (np.max(np.abs(violin)) + 1e-9), sr)
+                  _norm(_violin_clip(rng, n, sr)), sr)
 
     return piano_dir, violin_dir

@@ -35,6 +35,68 @@ from ast_tpu.models import ContentEncoder, Decoder, StyleEncoder, autoregressive
 ID_TO_NAME = {0: "piano", 1: "violin"}
 NAME_TO_ID = {"piano": 0, "violin": 1}
 
+# ---------------------------------------------------------------------------
+# wire formats for host<->device waveform transport. The relay link (not
+# device compute) bounds serving throughput, so bytes on the wire ARE the
+# latency: f32 = 4 B/sample (lossless), pcm16 = 2 B/sample (lossless when the
+# endpoints are 16-bit PCM anyway — the serving default), mulaw8 = 1 B/sample
+# (G.711-style companding, ~38 dB SNR: opt-in, quality tradeoff).
+
+_MU = 255.0
+
+
+def mulaw_encode_np(x: np.ndarray) -> np.ndarray:
+    """float [-1,1] -> uint8 mu-law code."""
+    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    v = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return np.clip(np.round((v + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
+def mulaw_decode_np(u: np.ndarray) -> np.ndarray:
+    """uint8 mu-law code -> float [-1,1]."""
+    v = np.asarray(u, np.float32) / 127.5 - 1.0
+    return (np.sign(v) * (np.power(1.0 + _MU, np.abs(v)) - 1.0)
+            / _MU).astype(np.float32)
+
+
+def _wire_decode_jnp(w: jnp.ndarray) -> jnp.ndarray:
+    """Device-side ingest: int16 pcm / uint8 mu-law / float32 passthrough."""
+    if w.dtype == jnp.int16:
+        return w.astype(jnp.float32) / 32768.0
+    if w.dtype == jnp.uint8:
+        v = w.astype(jnp.float32) / 127.5 - 1.0
+        return jnp.sign(v) * (jnp.power(1.0 + _MU, jnp.abs(v)) - 1.0) / _MU
+    return w
+
+
+def _wire_encode_jnp(x: jnp.ndarray, wire: str) -> jnp.ndarray:
+    """Device-side egress in the requested wire format."""
+    if wire == "pcm16":
+        return jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
+    if wire == "mulaw8":
+        xc = jnp.clip(x, -1.0, 1.0)
+        v = jnp.sign(xc) * jnp.log1p(_MU * jnp.abs(xc)) / jnp.log(1.0 + _MU)
+        return jnp.clip(jnp.round((v + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
+    return x
+
+
+def _wire_encode_np(x: np.ndarray, wire: str) -> np.ndarray:
+    if wire == "pcm16":
+        if x.dtype == np.int16:
+            return x
+        return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    if wire == "mulaw8":
+        return x if x.dtype == np.uint8 else mulaw_encode_np(x)
+    return np.asarray(x, np.float32)
+
+
+def _wire_decode_np(x: np.ndarray) -> np.ndarray:
+    if x.dtype == np.int16:
+        return x.astype(np.float32) / 32768.0
+    if x.dtype == np.uint8:
+        return mulaw_decode_np(x)
+    return x
+
 
 def _preset_stats(cfg: Config):
     """Stats implied by the config preset: None when faithful (the reference
@@ -139,12 +201,13 @@ class StyleTransferPipeline:
         the (tiny) AR decode + OLA run replicated."""
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=("n_samples", "overlap"))
+        @functools.partial(jax.jit,
+                           static_argnames=("n_samples", "overlap", "out_wire"))
         def core(waveform, class_embeddings, target_class_id, content_vars,
-                 decoder_vars, n_samples: int, overlap: int):
+                 decoder_vars, n_samples: int, overlap: int,
+                 out_wire: str = "f32"):
             a = cfg.audio
-            if waveform.dtype == jnp.int16:  # PCM16 wire (serving)
-                waveform = waveform.astype(jnp.float32) / 32768.0
+            waveform = _wire_decode_jnp(waveform)  # pcm16/mulaw8 wire (serving)
             s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length)
             c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
                        hop_length=a.hop_length, algorithm=a.cqt_algorithm,
@@ -179,7 +242,8 @@ class StyleTransferPipeline:
 
             T = feats.shape[1]
             full = sections2spectrogram(out[0], T, overlap)
-            return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
+            wav_out = istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
+            return _wire_encode_jnp(wav_out, out_wire)
 
         return core
 
@@ -228,13 +292,12 @@ class StyleTransferPipeline:
         cfg = self.cfg
 
         @functools.partial(jax.jit,
-                           static_argnames=("n_samples", "overlap", "pcm16_out"))
+                           static_argnames=("n_samples", "overlap", "out_wire"))
         def batch_core(waveforms, class_embeddings, target_ids, content_vars,
                        decoder_vars, n_samples: int, overlap: int,
-                       pcm16_out: bool = False):
+                       out_wire: str = "f32"):
             a = cfg.audio
-            if waveforms.dtype == jnp.int16:
-                waveforms = waveforms.astype(jnp.float32) / 32768.0
+            waveforms = _wire_decode_jnp(waveforms)
 
             def featurize(w):
                 s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length)
@@ -266,40 +329,37 @@ class StyleTransferPipeline:
                 return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
 
             wavs_out = jax.vmap(invert)(out)
-            if pcm16_out:
-                wavs_out = jnp.clip(jnp.round(wavs_out * 32768.0),
-                                    -32768, 32767).astype(jnp.int16)
-            return wavs_out
+            return _wire_encode_jnp(wavs_out, out_wire)
 
         return batch_core
 
     def process_audio_batch(self, waveforms, target_class_ids,
                             overlap: Optional[int] = None,
-                            pcm16_wire: bool = False) -> np.ndarray:
+                            pcm16_wire: bool = False,
+                            wire: Optional[str] = None) -> np.ndarray:
         """Transfer a batch of equal-length clips in one device call.
 
-        pcm16_wire=True ships int16 PCM both directions (serving wire format);
-        accepts float [-1,1] or int16 input either way."""
+        `wire` selects the host<->device transport: "f32" (default,
+        lossless), "pcm16" (2 B/sample, lossless vs 16-bit PCM endpoints) or
+        "mulaw8" (1 B/sample, ~38 dB SNR companding — opt-in quality
+        tradeoff for link-bound serving). pcm16_wire=True is the legacy
+        spelling of wire="pcm16". Accepts float [-1,1] or already-encoded
+        int16/uint8 input either way; always returns float."""
+        wire = wire or ("pcm16" if pcm16_wire else "f32")
         overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
-        arr = np.asarray(waveforms)
-        if pcm16_wire and arr.dtype != np.int16:
-            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int16)
-        elif not pcm16_wire:
-            arr = arr.astype(np.float32)
+        arr = _wire_encode_np(np.asarray(waveforms), wire)
         wavs = jnp.asarray(arr)
         out = self._jitted_batch_core(
             wavs, self.class_embeddings, jnp.asarray(target_class_ids),
             self.content_vars, self.decoder_vars,
             n_samples=int(wavs.shape[-1]), overlap=int(overlap),
-            pcm16_out=pcm16_wire)
-        out = np.asarray(out)
-        if pcm16_wire:
-            out = out.astype(np.float32) / 32768.0
-        return out
+            out_wire=wire)
+        return _wire_decode_np(np.asarray(out))
 
     def process_audio_batch_sharded(self, waveforms, target_class_ids,
                                     mesh=None, overlap: Optional[int] = None,
                                     pcm16_wire: bool = False,
+                                    wire: Optional[str] = None,
                                     tensor_parallel: bool = False) -> np.ndarray:
         """Data-parallel batched transfer over a device mesh.
 
@@ -316,6 +376,7 @@ class StyleTransferPipeline:
 
         mesh = make_mesh() if mesh is None else mesh
         n_data = mesh.shape["data"]
+        wire = wire or ("pcm16" if pcm16_wire else "f32")
         overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
 
         arr = np.asarray(waveforms)
@@ -325,10 +386,7 @@ class StyleTransferPipeline:
         if pad:
             arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
             ids = np.concatenate([ids, np.zeros(pad, ids.dtype)])
-        if pcm16_wire and arr.dtype != np.int16:
-            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int16)
-        elif not pcm16_wire:
-            arr = arr.astype(np.float32)
+        arr = _wire_encode_np(arr, wire)
 
         bsh = batch_sharding(mesh)
         rep = replicated(mesh)
@@ -345,16 +403,14 @@ class StyleTransferPipeline:
         out = self._jitted_batch_core(
             wavs, class_emb, tids, content_vars, decoder_vars,
             n_samples=int(wavs.shape[-1]), overlap=int(overlap),
-            pcm16_out=pcm16_wire)
-        out = np.asarray(out)[:B]
-        if pcm16_wire:
-            out = out.astype(np.float32) / 32768.0
-        return out
+            out_wire=wire)
+        return _wire_decode_np(np.asarray(out)[:B])
 
     def transfer_stream(self, waveforms, target_class_ids,
                         batch_size: int = 16, depth: int = 3,
                         overlap: Optional[int] = None,
-                        pcm16_wire: bool = True):
+                        pcm16_wire: bool = True,
+                        wire: Optional[str] = None):
         """Pipelined batched serving: yields transferred clips in order while
         keeping up to `depth` batches in flight.
 
@@ -364,6 +420,7 @@ class StyleTransferPipeline:
         device compute) with device execution and the result download. The
         serving-throughput counterpart of the reference's strictly sequential
         per-clip loop (evaluation_style_transfer.py:309-340)."""
+        wire_fmt = wire or ("pcm16" if pcm16_wire else "f32")
         overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
         wavs = np.asarray(waveforms)
         ids = np.asarray(target_class_ids)
@@ -378,15 +435,12 @@ class StyleTransferPipeline:
                 arr = np.concatenate(
                     [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
                 t = np.concatenate([t, np.zeros(pad, t.dtype)])
-            if pcm16_wire and arr.dtype != np.int16:
-                arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int16)
-            elif not pcm16_wire:
-                arr = arr.astype(np.float32)
+            arr = _wire_encode_np(arr, wire_fmt)
             out = self._jitted_batch_core(
                 jnp.asarray(arr), self.class_embeddings, jnp.asarray(t),
                 self.content_vars, self.decoder_vars,
                 n_samples=int(arr.shape[-1]), overlap=int(overlap),
-                pcm16_out=pcm16_wire)
+                out_wire=wire_fmt)
             return out, hi - lo
 
         import collections
@@ -399,30 +453,30 @@ class StyleTransferPipeline:
                 inflight.append(dispatch(next_lo, hi))
                 next_lo = hi
             out, n_valid = inflight.popleft()
-            host = np.asarray(out)[:n_valid]
-            if pcm16_wire:
-                host = host.astype(np.float32) / 32768.0
+            host = _wire_decode_np(np.asarray(out)[:n_valid])
             for clip in host:
                 yield clip
 
     def process_audio(self, waveform, target_class_id: int,
                       overlap: Optional[int] = None,
-                      pcm16_in: bool = False) -> np.ndarray:
+                      pcm16_in: bool = False,
+                      wire: Optional[str] = None) -> np.ndarray:
         """The reference process_audio equivalent: one fused on-device call.
 
-        pcm16_in ships the input as int16 PCM (halves upload bytes)."""
+        `wire` ("pcm16"/"mulaw8") ships the waveform compressed BOTH ways
+        (link-bound serving); pcm16_in is the legacy input-only spelling.
+        Always returns float."""
         overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
         arr = np.asarray(waveform).reshape(-1)
-        if pcm16_in and arr.dtype != np.int16:
-            arr = np.clip(np.round(arr * 32768.0), -32768, 32767).astype(np.int16)
-        elif not pcm16_in:
-            arr = arr.astype(np.float32)
+        in_wire = wire or ("pcm16" if pcm16_in else "f32")
+        arr = _wire_encode_np(arr, in_wire)
         wav = jnp.asarray(arr)
         out = self._jitted_core(
             wav, self.class_embeddings, jnp.asarray(target_class_id),
             self.content_vars, self.decoder_vars,
-            n_samples=int(wav.shape[0]), overlap=int(overlap))
-        return np.asarray(out)
+            n_samples=int(wav.shape[0]), overlap=int(overlap),
+            out_wire=wire or "f32")
+        return _wire_decode_np(np.asarray(out))
 
     def transfer(self, waveform, target: str) -> np.ndarray:
         """transfer(waveform, 'violin'|'piano') -> waveform."""

@@ -522,4 +522,44 @@ long ast_load_audio(const char* path, int target_sr, double cut_seconds,
   return ast_resample(mono.data(), cut, sr, target_sr, out, max_out);
 }
 
+// Single-pass serving ingest: probe + decode + pad/cut + resample in ONE
+// call, returning the probe results the caller would otherwise re-derive
+// with separate ast_audio_info/ast_load_audio calls (each of which re-scans
+// an mp3 stream). Clip seconds = clamp(stream length, min_seconds,
+// max_seconds). out must hold ceil(max_seconds * target_sr) + slack (the
+// output is at target_sr regardless of the source rate). Returns samples
+// written, < 0 on error.
+long ast_load_audio_probed(const char* path, int target_sr,
+                           double max_seconds, double min_seconds,
+                           float* out, long max_out, int* sr_orig,
+                           long* n_frames_out, int* kind_out) {
+  int sr = 0, ch = 0, kind = 0;
+  long frames = 0;
+  if (ast_audio_info(path, &sr, &ch, &frames, &kind) != 0) return -1;
+  *sr_orig = sr;
+  *n_frames_out = frames;
+  *kind_out = kind;
+  if (sr <= 0 || ch <= 0) return -2;
+
+  double seconds = (double)frames / sr;
+  if (seconds > max_seconds) seconds = max_seconds;
+  if (seconds < min_seconds) seconds = min_seconds;
+
+  const long cut = (long)(seconds * sr);
+  const long want = std::min(frames, cut);
+  std::vector<float> inter((size_t)want * ch);
+  const long got = (kind == 2) ? ast_mp3_read(path, inter.data(), want)
+                               : ast_wav_read(path, inter.data(), want);
+  if (got < 0) return got;
+
+  std::vector<float> mono((size_t)cut, 0.0f);
+  for (long i = 0; i < got; ++i) {
+    double acc = 0.0;
+    for (int c = 0; c < ch; ++c) acc += inter[(size_t)i * ch + c];
+    mono[(size_t)i] = (float)(acc / ch);
+  }
+
+  return ast_resample(mono.data(), cut, sr, target_sr, out, max_out);
+}
+
 }  // extern "C"

@@ -130,7 +130,7 @@ def main():
     bone = lambda: bcore(pcm_dev, pipe.class_embeddings, tids_dev,
                          pipe.content_vars, pipe.decoder_vars,
                          n_samples=cfg.audio.clip_samples,
-                         overlap=cfg.audio.eval_overlap_frames, pcm16_out=True)
+                         overlap=cfg.audio.eval_overlap_frames, out_wire="pcm16")
     jax.block_until_ready(bone())
     t0 = time.perf_counter()
     outs = [bone() for _ in range(10)]

@@ -45,7 +45,7 @@ def main():
                             pipe.content_vars, pipe.decoder_vars,
                             n_samples=cfg.audio.clip_samples,
                             overlap=cfg.audio.eval_overlap_frames,
-                            pcm16_out=True)
+                            out_wire="pcm16")
         jax.block_until_ready(bfn())
         t0 = time.perf_counter()
         res = [bfn() for _ in range(10)]

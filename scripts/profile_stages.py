@@ -127,7 +127,7 @@ def main():
     bcore = pipe._jitted_batch_core
     bfn = lambda x: bcore(x, pipe.class_embeddings, tids, pipe.content_vars,
                           pipe.decoder_vars, n_samples=a.clip_samples,
-                          overlap=overlap, pcm16_out=False)
+                          overlap=overlap, out_wire="f32")
     ms = timeit(bfn, wavs, iters=8)
     print(f"fused batch core (B={B}):      {ms:8.3f} ms  "
           f"= {ms/B:6.3f} ms/clip  ({B/(ms/1000):.1f} clips/s device-only)")

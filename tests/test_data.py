@@ -133,6 +133,34 @@ def test_balanced_batches_contract(tmp_path):
     assert np.isfinite(np.asarray(x)).all()
 
 
+def test_wav_fixture_class_separation(tmp_path):
+    """The physically-flavored fixture must separate the two instrument
+    classes under the project's own transfer metrics
+    (evaluation_style_transfer.py:99-119 semantics): within-class
+    instrumentation similarity above cross-class, within-class MFCC distance
+    below cross-class. This is what makes transfer-metric numbers on the
+    synthetic corpus directionally meaningful."""
+    from itertools import combinations, product
+
+    from ast_tpu.data.audio_io import load_audio
+    from ast_tpu.eval.metrics import instrumentation_similarity, mfcc_distance
+
+    piano_dir, violin_dir = make_wav_fixture(str(tmp_path), n_clips=3,
+                                             seconds=4.0)
+    load = lambda d, n: np.asarray(load_audio(os.path.join(d, n))[0]).reshape(-1)
+    P = [load(piano_dir, f"piano_{i:03d}.wav") for i in range(3)]
+    V = [load(violin_dir, f"violin_{i:03d}.wav") for i in range(3)]
+
+    within = [instrumentation_similarity(a, b)
+              for grp in (P, V) for a, b in combinations(grp, 2)]
+    cross = [instrumentation_similarity(a, b) for a, b in product(P, V)]
+    assert np.mean(within) > np.mean(cross) + 0.05, (np.mean(within), np.mean(cross))
+
+    mfcc_within_v = np.mean([mfcc_distance(a, b) for a, b in combinations(V, 2)])
+    mfcc_cross = np.mean([mfcc_distance(a, b) for a, b in product(P, V)])
+    assert mfcc_within_v < mfcc_cross, (mfcc_within_v, mfcc_cross)
+
+
 def test_stats_fallback_chain(tmp_path, capsys):
     # at full feature size a missing dir now falls back to the PACKAGED
     # reference stats (ast_tpu/stats/) before degrading to dummy

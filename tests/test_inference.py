@@ -93,6 +93,34 @@ def test_pcm16_wire_matches_float(audio_clip):
     np.testing.assert_allclose(pcm, expected, atol=2e-4)
 
 
+def test_mulaw8_wire_roundtrip_and_core(audio_clip):
+    """mu-law companding: host codec SNR is ~38 dB on real audio, and the
+    mulaw8 batch-core path stays close to the float pipeline (opt-in wire
+    for link-bound serving)."""
+    import numpy as np
+
+    from ast_tpu.eval.inference import mulaw_decode_np, mulaw_encode_np
+
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    dec = mulaw_decode_np(mulaw_encode_np(wav))
+    err = dec - wav
+    snr_db = 10 * np.log10((wav ** 2).mean() / (err ** 2).mean())
+    assert snr_db > 30.0, snr_db
+
+    pipe = StyleTransferPipeline.init_random(TINY, seed=0)
+    batch = np.stack([wav, wav])
+    f32 = pipe.process_audio_batch(batch, np.array([1, 1]))
+    mu = pipe.process_audio_batch(batch, np.array([1, 1]), wire="mulaw8")
+    assert mu.dtype == np.float32 and mu.shape == f32.shape
+    # companding noise on input+output, but the same program in between;
+    # mu-law egress clips to [-1, 1] (the wav response range), so compare
+    # against the clipped float output (random weights overshoot +-1)
+    ref = np.clip(f32, -1.0, 1.0)
+    scale = np.abs(ref).mean() + 1e-9
+    assert np.abs(mu - ref).mean() / scale < 0.05, (
+        np.abs(mu - ref).mean() / scale)
+
+
 def test_transfer_any_length(audio_clip):
     pipe = StyleTransferPipeline.init_random(TINY, seed=0)
     import numpy as np

@@ -89,23 +89,68 @@ def test_bad_requests(server):
     assert status == 404
 
 
-def test_concurrent_requests(server):
-    """Concurrent clients: decode/encode threads overlap, device work
-    serializes behind the pipeline lock — all requests must succeed."""
+def test_concurrent_requests_coalesce(server):
+    """Concurrent clients: decode/encode threads overlap and same-bucket
+    device work COALESCES into batched device calls (dynamic batching) —
+    all requests succeed and the /stats histogram shows a group size > 1."""
     import concurrent.futures
 
     sr = TINY_AUDIO.sample_rate
     rng = np.random.default_rng(7)
     bodies = [_wav_bytes((0.1 * rng.standard_normal(
-        TINY_AUDIO.clip_samples)).astype(np.float32), sr) for _ in range(8)]
+        TINY_AUDIO.clip_samples)).astype(np.float32), sr) for _ in range(12)]
 
     def one(i):
         target = ("violin", "piano")[i % 2]
         return _post(server + f"/transfer?target={target}", bodies[i])[0]
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
-        codes = list(ex.map(one, range(8)))
-    assert codes == [200] * 8
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        codes = list(ex.map(one, range(12)))
+    assert codes == [200] * 12
+
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    sizes = {int(k): v for k, v in s["batch_sizes"].items()}
+    assert sizes, "no device calls recorded"
+    assert max(sizes) > 1, f"requests never coalesced: {sizes}"
+    # every request was served by exactly one group slot
+    assert sum(k * v for k, v in sizes.items()) >= 12
+
+
+def test_batched_matches_single(server):
+    """A clip served inside a coalesced batch must produce the same audio
+    as the same clip served alone (the batched core is numerically the
+    same program modulo vmap)."""
+    import concurrent.futures
+
+    sr = TINY_AUDIO.sample_rate
+    rng = np.random.default_rng(11)
+    wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)).astype(np.float32)
+    body = _wav_bytes(wav, sr)
+
+    # alone (no concurrent traffic): group of 1
+    solo = _post(server + "/transfer?target=violin", body)
+    assert solo[0] == 200
+
+    # under concurrency: the same body again, racing 7 fillers
+    filler = [_wav_bytes((0.1 * rng.standard_normal(
+        TINY_AUDIO.clip_samples)).astype(np.float32), sr) for _ in range(7)]
+
+    def one(b):
+        return _post(server + "/transfer?target=violin", b)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, [body] + filler))
+    assert all(r[0] == 200 for r in results)
+
+    def pcm(buf):
+        with wave.open(io.BytesIO(buf), "rb") as w:
+            return np.frombuffer(w.readframes(w.getnframes()), "<i2")
+
+    a, b = pcm(solo[1]), pcm(results[0][1])
+    assert a.shape == b.shape
+    # identical up to fp reassociation in the vmapped program (+-1 PCM step)
+    assert np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))) <= 1
 
 
 def test_warmup_precompiles_bucket(server):
@@ -220,3 +265,4 @@ def test_stats_endpoint(server):
     assert s["requests"].get("transfer", 0) >= 1
     assert s["errors"] >= 1
     assert s["latency_ms"]["n"] >= 1 and s["latency_ms"]["p50"] > 0
+    assert "batch_sizes" in s
