@@ -100,6 +100,17 @@ class ModelConfig:
     stft_bins: int = 513            # decoder frame width
     feat_bins: int = 597            # encoder input width (stft+cqt)
     use_cls: bool = True
+    # Autoregressive feedback mode. "raw" is reference-faithful: each decode
+    # step feeds the previous transformer OUTPUT back, un-normalized and in
+    # output-embedding space, while teacher forcing trains on
+    # input_norm(PE(encode(true frame))) — the train/inference mismatch that
+    # makes the reference's AR rollout diverge after window 0
+    # (SimpleDecoder_TransformerOnly.py:102-125 vs :80-100). "reencode"
+    # (quirk fix, Config().unfaithful()) feeds back EXACTLY what teacher
+    # forcing would see for the predicted frame:
+    # input_norm(PE(encode(decode(y_t)))) — a perfectly-fit decoder then
+    # rolls out identically to its teacher-forced pass.
+    ar_feedback: str = "raw"
     # Compute dtype for the forward pass; params stay float32.
     dtype: str = "float32"
     # Rematerialize ResBlock activations in the backward pass (trades FLOPs
@@ -204,6 +215,10 @@ class Config:
     #     inference features with the packaged training stats (the reference
     #     trains on normalized features but never normalizes at inference,
     #     evaluation_style_transfer.py:135-140)
+    #   * AR feedback re-encoding: autoregressive decode feeds back
+    #     input_norm(PE(encode(decoded frame))) — the transform teacher
+    #     forcing applies — instead of the raw transformer output
+    #     (ModelConfig.ar_feedback="reencode")
     faithful: bool = True
 
     def unfaithful(self) -> "Config":
@@ -213,6 +228,7 @@ class Config:
             faithful=False,
             audio=dataclasses.replace(
                 self.audio, eval_overlap_frames=self.audio.overlap_frames),
+            model=dataclasses.replace(self.model, ar_feedback="reencode"),
         )
 
 

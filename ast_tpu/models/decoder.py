@@ -292,6 +292,36 @@ class Decoder(nn.Module):
     def start_tokens(self, batch: int):
         return jnp.broadcast_to(self.start_token, (batch, 1, self.cfg.d_model))
 
+    # ---- re-encode feedback pieces (ar_feedback="reencode" quirk fix) ----
+
+    def decode_step_prepared(self, x_t, pos, k_caches, v_caches, cross_kvs):
+        """One AR step on an input that is ALREADY PE'd + input_norm'd —
+        used by the "reencode" feedback mode where inputs are produced by
+        prepare_start/prepare_feedback (the exact teacher-forcing input
+        transform, forward_training's y_shift pipeline)."""
+        return self.core.step(x_t, pos, k_caches, v_caches, cross_kvs)
+
+    def prepare_start(self, batch: int):
+        """input_norm(PE(start_token)) — TF's position-0 input."""
+        x = self.start_tokens(batch).astype(self.cfg.jnp_dtype)
+        pe = jnp.asarray(
+            sinusoidal_position_encoding(self.cfg.max_len, self.cfg.d_model),
+            x.dtype)
+        return self.input_norm(x + pe[0][None, None])
+
+    def prepare_feedback(self, y_t, pos):
+        """input_norm(PE_pos(encode(decode(y_t)))) for (B, 1, d) transformer
+        output y_t: decode the predicted frame to STFT space, re-encode it,
+        and apply TF's PE + input_norm — so the rollout of a perfectly-fit
+        decoder reproduces its teacher-forced pass."""
+        frame = self.frame_codec.decode(self.output_norm(y_t))  # (B,1,2,W,F)
+        emb = self.frame_codec.encode(frame)  # (B, 1, d)
+        pe = jnp.asarray(
+            sinusoidal_position_encoding(self.cfg.max_len, self.cfg.d_model),
+            emb.dtype)
+        x = emb + jax.lax.dynamic_slice(pe, (pos, 0), (1, self.cfg.d_model))[None]
+        return self.input_norm(x)
+
 
 def autoregressive_decode(
     decoder: Decoder,
@@ -300,20 +330,33 @@ def autoregressive_decode(
     class_emb: jnp.ndarray,
     target_length: int,
     rngs: Optional[dict] = None,
+    feedback: Optional[str] = None,
 ) -> jnp.ndarray:
     """lax.scan KV-cached autoregressive generation -> (B, S, 2, H, W).
 
     Equivalent to the reference forward_inference
-    (SimpleDecoder_TransformerOnly.py:102-125) but O(S) instead of O(S^2)."""
+    (SimpleDecoder_TransformerOnly.py:102-125) but O(S) instead of O(S^2).
+
+    feedback (default: decoder.cfg.ar_feedback):
+      "raw"      — reference-faithful: feed the previous transformer output
+                   back directly (the train/inference mismatch quirk).
+      "reencode" — quirk fix: feed back input_norm(PE(encode(decode(y_t)))),
+                   the exact transform teacher forcing applies to true
+                   frames; a perfectly-fit decoder then rolls out
+                   identically to its teacher-forced pass."""
     cfg = decoder.cfg
     B = content_emb.shape[0]
     S = int(target_length)
     n_heads, d_head = cfg.num_heads, cfg.d_model // cfg.num_heads
+    feedback = feedback or getattr(cfg, "ar_feedback", "raw")
 
     memory = decoder.apply(variables, content_emb, class_emb, False,
                            method=Decoder.prepare_memory)
     cross_kvs = decoder.apply(variables, memory, method=Decoder.decode_precompute)
-    x0 = decoder.apply(variables, B, method=Decoder.start_tokens)
+    if feedback == "reencode":
+        x0 = decoder.apply(variables, B, method=Decoder.prepare_start)
+    else:
+        x0 = decoder.apply(variables, B, method=Decoder.start_tokens)
     x0 = x0.astype(cfg.jnp_dtype)
 
     k0 = [jnp.zeros((B, n_heads, S, d_head), cfg.jnp_dtype)
@@ -321,12 +364,22 @@ def autoregressive_decode(
     v0 = [jnp.zeros((B, n_heads, S, d_head), cfg.jnp_dtype)
           for _ in range(cfg.num_layers)]
 
-    def step(carry, pos):
-        x_t, k_caches, v_caches = carry
-        y_t, k_caches, v_caches = decoder.apply(
-            variables, x_t, pos, k_caches, v_caches, cross_kvs,
-            method=Decoder.decode_step)
-        return (y_t, k_caches, v_caches), y_t[:, 0, :]
+    if feedback == "reencode":
+        def step(carry, pos):
+            x_t, k_caches, v_caches = carry
+            y_t, k_caches, v_caches = decoder.apply(
+                variables, x_t, pos, k_caches, v_caches, cross_kvs,
+                method=Decoder.decode_step_prepared)
+            nxt = decoder.apply(variables, y_t, pos + 1,
+                                method=Decoder.prepare_feedback)
+            return (nxt, k_caches, v_caches), y_t[:, 0, :]
+    else:
+        def step(carry, pos):
+            x_t, k_caches, v_caches = carry
+            y_t, k_caches, v_caches = decoder.apply(
+                variables, x_t, pos, k_caches, v_caches, cross_kvs,
+                method=Decoder.decode_step)
+            return (y_t, k_caches, v_caches), y_t[:, 0, :]
 
     (_, _, _), ys = jax.lax.scan(step, (x0, k0, v0), jnp.arange(S))
     dec_out = jnp.transpose(ys, (1, 0, 2))  # (B, S, d)

@@ -57,6 +57,12 @@ def main() -> int:
     p.add_argument("--cpu", action="store_true",
                    help="run on host CPU (tiny config; avoids TPU relay RTT "
                         "dominating thousands of small steps)")
+    p.add_argument("--feedback", choices=["raw", "reencode"], default="raw",
+                   help="AR feedback mode: 'raw' = reference-faithful (AR "
+                        "diverges after window 0 by construction), "
+                        "'reencode' = quirk fix (feeds back the exact "
+                        "teacher-forcing input transform; AR must track TF "
+                        "on ALL windows of the memorized batch)")
     args = p.parse_args()
 
     if args.cpu:
@@ -121,7 +127,8 @@ def main() -> int:
         None, False))
     y_ar = np.asarray(jax.jit(
         lambda c, e: autoregressive_decode(models.decoder, state.decoder,
-                                           c, e, y.shape[1])
+                                           c, e, y.shape[1],
+                                           feedback=args.feedback)
     )(content_emb, class_emb[labels]))
 
     def rel_l2(a, b):
@@ -142,6 +149,7 @@ def main() -> int:
     }
 
     summary = {
+        "feedback": args.feedback,
         "initial_recon": initial,
         "final_recon": final,
         "ratio": final / initial,
@@ -158,11 +166,16 @@ def main() -> int:
 
     # Pass criteria: (1) teacher-forced reconstruction reached the target
     # ratio — the decoder CAN drive compute_comprehensive_loss toward zero;
-    # (2) the first AR window matches the TF window it is identically
-    # conditioned on (the strongest AR==TF statement the reference's
-    # feedback mismatch permits; later windows drift by construction).
-    ok = (summary["ratio"] < args.target_ratio
-          and per_window["window0"]["ar_vs_tf_corr"] > 0.99)
+    # (2) feedback="raw" (faithful): the first AR window matches the TF
+    # window it is identically conditioned on (the strongest AR==TF
+    # statement the reference's feedback mismatch permits; later windows
+    # drift by construction); feedback="reencode" (quirk fix): EVERY AR
+    # window must track TF — this is the demonstrated-working configuration.
+    if args.feedback == "reencode":
+        ar_ok = all(w["ar_vs_tf_corr"] > 0.9 for w in per_window.values())
+    else:
+        ar_ok = per_window["window0"]["ar_vs_tf_corr"] > 0.99
+    ok = summary["ratio"] < args.target_ratio and ar_ok
     print("overfit check:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -196,6 +196,45 @@ def test_kv_cache_decode_matches_full_prefix():
     np.testing.assert_allclose(fast, slow, atol=2e-4, rtol=1e-3)
 
 
+def test_reencode_feedback_matches_iterated_teacher_forcing():
+    """ar_feedback="reencode" (quirk fix) must equal the O(S^2) oracle:
+    iteratively run the TEACHER-FORCED path on the model's own predicted
+    frames. TF input at position j is input_norm(PE(encode(y_{j-1}))); the
+    reencode rollout feeds back exactly that transform of its own decoded
+    frame, so feeding the predicted frames back through forward_training
+    reproduces the rollout position by position."""
+    rng = np.random.default_rng(9)
+    B, S = 2, 4
+    cfg = TINY
+    content = jnp.asarray(rng.standard_normal((B, S, cfg.d_model)).astype(np.float32))
+    class_emb = jnp.asarray(rng.standard_normal((B, cfg.d_model)).astype(np.float32))
+    y_dummy = jnp.asarray(rng.standard_normal(
+        (B, S, 2, cfg.window_size, cfg.stft_bins)).astype(np.float32))
+    model = Decoder(cfg, codec="linear")
+    variables = model.init(jax.random.PRNGKey(0), content, class_emb, y_dummy)
+
+    fast = np.asarray(autoregressive_decode(model, variables, content,
+                                            class_emb, S, feedback="reencode"))
+
+    # oracle: grow the predicted-frame sequence through forward_training
+    memory = model.apply(variables, content, class_emb, False,
+                         method=Decoder.prepare_memory)
+    frames = jnp.zeros((B, 0, 2, cfg.window_size, cfg.stft_bins))
+    for t in range(S):
+        y_in = jnp.concatenate(
+            [frames, jnp.zeros((B, 1, 2, cfg.window_size, cfg.stft_bins))],
+            axis=1)  # the t-th slot is shifted out by TF's right-shift
+        out = model.apply(variables, y_in, memory, False,
+                          method=Decoder.forward_training)
+        frames = jnp.concatenate([frames, out[:, t : t + 1]], axis=1)
+    np.testing.assert_allclose(fast, np.asarray(frames), atol=2e-4, rtol=1e-3)
+
+    # and the faithful mode differs (the quirk is real)
+    raw = np.asarray(autoregressive_decode(model, variables, content,
+                                           class_emb, S, feedback="raw"))
+    assert np.abs(raw - fast).max() > 1e-3
+
+
 def test_kv_cache_decode_conv_codec():
     """AR decode with the conv frame codec produces the right shapes and is
     deterministic (the KV-cache==full-prefix equivalence is codec-agnostic;
