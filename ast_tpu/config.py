@@ -40,6 +40,10 @@ class AudioConfig:
     # delta vs the direct evaluation at ~0.5% even on broadband content);
     # "direct" = all bins at the full rate, no resampling error
     cqt_algorithm: str = "recursive"
+    # STFT/ISTFT evaluation: "fft" (jnp.fft) or "matmul" (DFT as MXU
+    # matmuls at Precision.HIGHEST — fp32-grade, ~5e-5 relative delta;
+    # faster on TPU where XLA's FFT is not MXU-resident).
+    stft_method: str = "fft"
 
     # Windowing of spectrogram frames into model sections
     window_size: int = 287          # frames per section

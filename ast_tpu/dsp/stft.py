@@ -62,20 +62,66 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True,
     return x[..., idx]
 
 
+def _rdft_mats(n_fft: int):
+    """Forward real-DFT as two (n_fft, n_fft//2+1) matmul weights, built
+    from iota at trace time (no multi-MB HLO constants through the relay).
+    rfft(x) = x @ C + 1j * (x @ S)."""
+    k = jnp.arange(n_fft // 2 + 1, dtype=jnp.float32)
+    n = jnp.arange(n_fft, dtype=jnp.float32)
+    ang = (2.0 * np.pi / n_fft) * n[:, None] * k[None, :]
+    return jnp.cos(ang), -jnp.sin(ang)
+
+
+def _irdft_mats(n_fft: int):
+    """Inverse one-sided real-DFT as two (n_fft//2+1, n_fft) weights:
+    irfft(X) = Re(X) @ A + Im(X) @ B (hermitian weighting folded in)."""
+    n_bins = n_fft // 2 + 1
+    k = jnp.arange(n_bins, dtype=jnp.float32)
+    n = jnp.arange(n_fft, dtype=jnp.float32)
+    w = jnp.where((k == 0) | (k == n_fft // 2), 1.0, 2.0) / n_fft
+    ang = (2.0 * np.pi / n_fft) * k[:, None] * n[None, :]
+    return w[:, None] * jnp.cos(ang), -w[:, None] * jnp.sin(ang)
+
+
+def rfft_matmul(frames: jnp.ndarray, n_fft: int,
+                precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """rfft over the last axis as two MXU matmuls.
+
+    XLA's TPU FFT is not MXU-resident; for n_fft ~1024 the O(N^2) DFT matmul
+    can win on wall clock while keeping fp32-grade accuracy at
+    Precision.HIGHEST (bf16x6 passes)."""
+    c, s = _rdft_mats(n_fft)
+    re = jnp.matmul(frames, c, precision=precision)
+    im = jnp.matmul(frames, s, precision=precision)
+    return jax.lax.complex(re, im)
+
+
+def irfft_matmul(spec: jnp.ndarray, n_fft: int,
+                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """irfft over the last axis as two MXU matmuls (one-sided input)."""
+    a, b = _irdft_mats(n_fft)
+    return (jnp.matmul(jnp.real(spec), a, precision=precision)
+            + jnp.matmul(jnp.imag(spec), b, precision=precision))
+
+
 def stft(
     x: jnp.ndarray,
     n_fft: int = 1024,
     hop_length: int = 256,
     window: jnp.ndarray | None = None,
     center: bool = True,
+    method: str = "fft",
 ) -> jnp.ndarray:
     """Complex STFT of a (..., n_samples) signal -> (..., n_frames, n_fft//2+1).
 
     Note the layout is time-major (frames, freq) — the natural layout for the
-    rest of the pipeline — whereas torch returns (freq, frames)."""
+    rest of the pipeline — whereas torch returns (freq, frames).
+    method="matmul" evaluates the DFT as MXU matmuls (see rfft_matmul)."""
     if window is None:
         window = hann_window(n_fft, dtype=x.dtype)
     frames = frame_signal(x, n_fft, hop_length, center=center)
+    if method == "matmul":
+        return rfft_matmul(frames * window, n_fft)
     return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
 
 
@@ -84,10 +130,12 @@ def stft_ri(
     n_fft: int = 1024,
     hop_length: int = 256,
     center: bool = True,
+    method: str = "fft",
 ) -> jnp.ndarray:
     """STFT in the reference's packed layout: (2, T, F) with channel 0 = real,
     channel 1 = imag (reference: utilityFunctions.py:31-37)."""
-    s = stft(x, n_fft=n_fft, hop_length=hop_length, center=center)
+    s = stft(x, n_fft=n_fft, hop_length=hop_length, center=center,
+             method=method)
     return jnp.stack([jnp.real(s), jnp.imag(s)], axis=0).astype(jnp.float32)
 
 
@@ -110,6 +158,7 @@ def istft(
     center: bool = True,
     length: int | None = None,
     use_pallas: bool | None = None,
+    method: str = "fft",
 ) -> jnp.ndarray:
     """Inverse STFT of a complex (..., n_frames, n_fft//2+1) spectrogram.
 
@@ -118,14 +167,18 @@ def istft(
 
     The overlap-add uses the Pallas output-tiled kernel on TPU (18x faster
     than XLA's generic scatter-add for the 862x1024/256 configuration);
-    use_pallas=None auto-selects by backend."""
+    use_pallas=None auto-selects by backend. method="matmul" evaluates the
+    inverse DFT as MXU matmuls (see irfft_matmul)."""
     import jax as _jax
 
     n_frames = spec.shape[-2]
     if window is None:
         window = hann_window(n_fft)
 
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window  # (..., n_frames, n_fft)
+    if method == "matmul":
+        frames = irfft_matmul(spec, n_fft) * window
+    else:
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
 
     total = n_fft + hop_length * (n_frames - 1)
 
@@ -165,8 +218,10 @@ def istft_ri(
     n_fft: int = 1024,
     hop_length: int = 256,
     length: int | None = None,
+    method: str = "fft",
 ) -> jnp.ndarray:
     """Inverse STFT from the packed (2, T, F) real/imag layout
     (reference: utilityFunctions.py:62-82)."""
     spec = jax.lax.complex(spec_ri[0], spec_ri[1])
-    return istft(spec, n_fft=n_fft, hop_length=hop_length, length=length)
+    return istft(spec, n_fft=n_fft, hop_length=hop_length, length=length,
+                 method=method)

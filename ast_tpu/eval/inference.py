@@ -208,7 +208,8 @@ class StyleTransferPipeline:
                  out_wire: str = "f32"):
             a = cfg.audio
             waveform = _wire_decode_jnp(waveform)  # pcm16/mulaw8 wire (serving)
-            s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length)
+            s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length,
+                        method=a.stft_method)
             c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
                        hop_length=a.hop_length, algorithm=a.cqt_algorithm,
                        sparsity=a.cqt_sparsity)
@@ -242,7 +243,8 @@ class StyleTransferPipeline:
 
             T = feats.shape[1]
             full = sections2spectrogram(out[0], T, overlap)
-            wav_out = istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
+            wav_out = istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length,
+                               method=a.stft_method)
             return _wire_encode_jnp(wav_out, out_wire)
 
         return core
@@ -300,7 +302,8 @@ class StyleTransferPipeline:
             waveforms = _wire_decode_jnp(waveforms)
 
             def featurize(w):
-                s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length)
+                s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length,
+                            method=a.stft_method)
                 c = cqt_ri(w, sr=a.sample_rate, n_bins=a.cqt_bins,
                            hop_length=a.hop_length, algorithm=a.cqt_algorithm,
                        sparsity=a.cqt_sparsity)
@@ -326,7 +329,9 @@ class StyleTransferPipeline:
 
             def invert(windows):
                 full = sections2spectrogram(windows, T, overlap)
-                return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
+                return istft_ri(full, n_fft=a.n_fft,
+                                hop_length=a.hop_length,
+                                method=a.stft_method)
 
             wavs_out = jax.vmap(invert)(out)
             return _wire_encode_jnp(wavs_out, out_wire)

@@ -381,6 +381,18 @@ def autoregressive_decode(
                 method=Decoder.decode_step)
             return (y_t, k_caches, v_caches), y_t[:, 0, :]
 
-    (_, _, _), ys = jax.lax.scan(step, (x0, k0, v0), jnp.arange(S))
-    dec_out = jnp.transpose(ys, (1, 0, 2))  # (B, S, d)
+    if S <= 8:
+        # Unrolled: for the 10 s headline clip S=4 — a lax.scan of tiny
+        # per-step ops serializes poorly on TPU (dynamic cache updates,
+        # loop-carried layout constraints); unrolling gives XLA static cache
+        # indices and cross-step scheduling freedom. Identical math.
+        carry = (x0, k0, v0)
+        outs = []
+        for pos in range(S):  # python ints -> static slice indices
+            carry, y = step(carry, pos)
+            outs.append(y)
+        dec_out = jnp.stack(outs, axis=1)  # (B, S, d)
+    else:
+        (_, _, _), ys = jax.lax.scan(step, (x0, k0, v0), jnp.arange(S))
+        dec_out = jnp.transpose(ys, (1, 0, 2))  # (B, S, d)
     return decoder.apply(variables, dec_out, False, method=Decoder.generate_output)

@@ -26,6 +26,50 @@ def _mark(label: str):
           file=sys.stderr, flush=True)
 
 
+def analytic_flops_per_clip(cfg) -> float:
+    """Analytic forward FLOPs for one 10 s clip through the fused transfer
+    pipeline (conv/matmul ops counted exactly from config shapes; FFTs as
+    2.5*N*log2(N) per real transform). Basis for the MFU line."""
+    import math
+
+    a, m = cfg.audio, cfg.model
+    T = a.frames_per_clip
+    S = a.num_windows(T, overlap=a.eval_overlap_frames)
+    d = m.d_model
+    fl = 0.0
+
+    # ContentEncoder CNN (all blocks stride-2, 3x3 conv pairs + 1x1 shortcut)
+    cin, h, w = m.in_channels, m.window_size, m.feat_bins
+    for cout in m.cnn_channels:
+        h, w = -(-h // 2), -(-w // 2)
+        fl += 2.0 * 9 * cin * cout * h * w   # conv1
+        fl += 2.0 * 9 * cout * cout * h * w  # conv2
+        fl += 2.0 * cin * cout * h * w       # shortcut 1x1
+        cin = cout
+    fl *= S
+    fl += 2.0 * S * m.cnn_channels[-1] * d  # cnn proj
+    # transformer encoder layers over S tokens
+    fl += m.num_layers * (2.0 * S * 4 * d * d        # qkv + out proj
+                          + 4.0 * S * S * d          # attention
+                          + 2.0 * S * 8 * d * d)     # ff (4d hidden, 2 mats)
+
+    # decoder: memory projections + cross-KV precompute + AR core + codec out
+    fl += 2.0 * 2 * S * d * d                        # content/class proj
+    fl += m.num_layers * 2.0 * (2 * S) * 2 * d * d   # cross K/V precompute
+    fl += m.num_layers * S * 2.0 * 13 * d * d        # per-step self/cross/ff
+    fl += 2.0 * S * d * m.stft_dim                   # embedding_to_stft
+
+    # DSP: STFT + ISTFT (n_fft frames) + recursive CQT (~2x an STFT's FFTs)
+    fft = 2.5 * a.n_fft * math.log2(a.n_fft)
+    fl += T * fft * 4.0
+    return fl
+
+
+# v5e bf16 peak (per chip); the fp32 pipeline's practical matmul ceiling is
+# far lower, but MFU is conventionally quoted against bf16 peak.
+PEAK_FLOPS_BF16 = 197e12
+
+
 def main():
     import jax
 
@@ -116,10 +160,14 @@ def main():
                              pipe.decoder_vars,
                              n_samples=cfg.audio.clip_samples,
                              overlap=cfg.audio.eval_overlap_frames)
-        jax.block_until_ready(one(clip_dev))
+        # force with a scalar fetch: block_until_ready can no-op through the
+        # relay (async dispatch), a host fetch of one element cannot
+        np.asarray(one(clip_dev)[0])
         t0 = time.perf_counter()
-        outs = [one(clip_dev) for _ in range(50)]
-        jax.block_until_ready(outs)
+        out = None
+        for _ in range(50):
+            out = one(clip_dev)
+        np.asarray(out[0])
         device_ms = (time.perf_counter() - t0) / 50 * 1000
         _mark(f"single-clip device compute: {device_ms:.2f} ms")
 
@@ -131,12 +179,58 @@ def main():
                          pipe.content_vars, pipe.decoder_vars,
                          n_samples=cfg.audio.clip_samples,
                          overlap=cfg.audio.eval_overlap_frames, out_wire="pcm16")
-    jax.block_until_ready(bone())
+    np.asarray(bone()[0, 0])  # force (see single-clip note)
     t0 = time.perf_counter()
-    outs = [bone() for _ in range(10)]
-    jax.block_until_ready(outs)
+    out = None
+    for _ in range(10):
+        out = bone()
+    np.asarray(out[0, 0])
     batch_device_ms = (time.perf_counter() - t0) / 10 / B * 1000
-    _mark(f"batched device compute: {batch_device_ms:.3f} ms/clip")
+    flops = analytic_flops_per_clip(cfg)
+    mfu = flops / (batch_device_ms * 1e-3) / PEAK_FLOPS_BF16
+    _mark(f"batched device compute: {batch_device_ms:.3f} ms/clip "
+          f"({flops / 1e9:.1f} GFLOP/clip, MFU {mfu:.1%} of bf16 peak)")
+
+    # bf16 training throughput (flag-gated perf knob pinned in a driver-
+    # visible artifact): full-size train step at B=64, synthetic features
+    # generated ON device (a host batch would be a 350 MB relay upload)
+    train_bf16 = None
+    if time.perf_counter() - _T0 < 620:
+        try:
+            import dataclasses
+
+            import jax.numpy as _jnp
+
+            from ast_tpu.train import Models, init_state, make_train_step
+
+            cfgt = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, dtype="bfloat16",
+                                               remat_cnn=True))
+            models = Models.create(cfgt)
+            tstep = make_train_step(cfgt, models)
+            tstate = init_state(cfgt, models, jax.random.PRNGKey(0),
+                                sections_per_clip=4)
+            Bt = 64
+            S = cfg.audio.num_windows(cfg.audio.frames_per_clip)
+            x = jax.jit(lambda k: 0.5 * jax.random.normal(
+                k, (Bt, S, 2, cfg.model.window_size, cfg.model.feat_bins)))(
+                jax.random.PRNGKey(1))
+            labels = _jnp.concatenate([_jnp.zeros(Bt // 2, _jnp.int32),
+                                       _jnp.ones(Bt // 2, _jnp.int32)])
+            curr = {k: _jnp.asarray(1.0)
+                    for k in ("contrastive", "hsic", "adversarial")}
+            tstate, metrics = tstep(tstate, x, labels, curr)  # compile
+            float(metrics["loss/total"])  # scalar fetch forces execution
+            _mark("bf16 train step compiled")
+            t0 = time.perf_counter()
+            iters = 4
+            for _ in range(iters):
+                tstate, metrics = tstep(tstate, x, labels, curr)
+            float(metrics["loss/total"])
+            train_bf16 = iters * Bt / (time.perf_counter() - t0)
+            _mark(f"bf16 train throughput (B={Bt}): {train_bf16:.1f} clips/s")
+        except Exception as e:  # never sink the headline JSON
+            _mark(f"bf16 train stage skipped: {type(e).__name__}: {e}")
 
     result = {
         "metric": "piano->violin clips/sec (10s audio) on v5e-1",
@@ -152,6 +246,10 @@ def main():
         "device_compute_ms_per_clip": round(batch_device_ms, 3),
         "single_clip_device_ms": (round(device_ms, 3)
                                   if device_ms is not None else None),
+        "flops_per_clip_g": round(flops / 1e9, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+        "train_bf16_clips_per_sec": (round(train_bf16, 1)
+                                     if train_bf16 is not None else None),
         "batch_size": B,
     }
     print(json.dumps(result))

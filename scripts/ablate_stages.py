@@ -16,15 +16,24 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def timeit(fn, iters=10, warmup=2):
+def _force(out):
+    """Force execution through the relay: block_until_ready alone can no-op
+    remotely; fetching one scalar of the result cannot."""
     import jax
+    import numpy as _np
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _np.asarray(leaf.ravel()[0])
+
+
+def timeit(fn, iters=10, warmup=2):
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
-    outs = [fn() for _ in range(iters)]
-    jax.block_until_ready(outs)
+    for _ in range(iters):
+        out = fn()
+    _force(out)
     return (time.perf_counter() - t0) / iters * 1000
 
 

@@ -75,3 +75,18 @@ def test_batched_stft(audio_clip):
     assert spec.shape == (2, 1 + len(audio_clip) // HOP, 513)
     single = S.stft(jnp.asarray(audio_clip), n_fft=N_FFT, hop_length=HOP)
     np.testing.assert_allclose(np.asarray(spec[0]), np.asarray(single), atol=1e-5)
+
+
+def test_matmul_dft_matches_fft():
+    """The MXU-matmul DFT path (method="matmul") must agree with the FFT
+    path to fp32-matmul accuracy on both forward and inverse."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(22050).astype(np.float32))
+    a = S.stft(x, method="fft")
+    b = S.stft(x, method="matmul")
+    assert float(jnp.abs(a - b).max() / jnp.abs(a).max()) < 5e-4
+    wa = S.istft(a, method="fft")
+    wb = S.istft(a, method="matmul")
+    assert float(jnp.abs(wa - wb).max() / (jnp.abs(wa).max() + 1e-12)) < 5e-4
