@@ -104,6 +104,99 @@ def irfft_matmul(spec: jnp.ndarray, n_fft: int,
             + jnp.matmul(jnp.imag(spec), b, precision=precision))
 
 
+def _ct_factors(n: int) -> tuple[int, int]:
+    """Split n = n1*n2 with n1, n2 as square as possible (powers of two)."""
+    import math
+
+    n1 = 1 << (int(math.log2(n)) // 2)
+    return n1, n // n1
+
+
+def rfft_ct(frames: jnp.ndarray, n_fft: int,
+            precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """rfft via a two-stage Cooley-Tukey factorization evaluated as MXU
+    matmuls: N = n1*n2, DFT_n1 over the outer index, twiddle, DFT_n2 over
+    the inner index. ~5x fewer FLOPs than the full (N x N/2+1) DFT matmul
+    while staying MXU-resident (XLA's TPU FFT is not).
+
+    Index algebra: n = a*n2 + b, k = u + n1*v ->
+      X[u + n1*v] = sum_b W2[b, v] * T[b, u] * sum_a x[a, b] W1[a, u].
+    Only v <= n2/2 is computed (one-sided output), then k is re-assembled
+    and sliced to n_fft//2 + 1 bins."""
+    n1, n2 = _ct_factors(n_fft)
+    a = jnp.arange(n1, dtype=jnp.float32)
+    b = jnp.arange(n2, dtype=jnp.float32)
+    u = jnp.arange(n1, dtype=jnp.float32)
+    n_v = n2 // 2 + 1
+    v = jnp.arange(n_v, dtype=jnp.float32)
+
+    w1 = (2.0 * np.pi / n1) * a[:, None] * u[None, :]
+    w1c, w1s = jnp.cos(w1), -jnp.sin(w1)                       # (n1, n1)
+    tw = (2.0 * np.pi / n_fft) * b[:, None] * u[None, :]
+    twc, tws = jnp.cos(tw), -jnp.sin(tw)                       # (n2, n1)
+    w2 = (2.0 * np.pi / n2) * b[:, None] * v[None, :]
+    w2c, w2s = jnp.cos(w2), -jnp.sin(w2)                       # (n2, n_v)
+
+    xr = frames.reshape(frames.shape[:-1] + (n1, n2))
+    # stage 1: DFT over a (real input -> complex), output (..., b, u)
+    yr = jnp.einsum("...ab,au->...bu", xr, w1c, precision=precision)
+    yi = jnp.einsum("...ab,au->...bu", xr, w1s, precision=precision)
+    # twiddle
+    zr = yr * twc - yi * tws
+    zi = yr * tws + yi * twc
+    # stage 2: DFT over b, output (..., u, v)
+    xrr = (jnp.einsum("...bu,bv->...uv", zr, w2c, precision=precision)
+           - jnp.einsum("...bu,bv->...uv", zi, w2s, precision=precision))
+    xri = (jnp.einsum("...bu,bv->...uv", zr, w2s, precision=precision)
+           + jnp.einsum("...bu,bv->...uv", zi, w2c, precision=precision))
+    # k = u + n1*v -> lay out as (v, u) then flatten; slice one-sided bins
+    full_r = jnp.swapaxes(xrr, -1, -2).reshape(
+        frames.shape[:-1] + (n1 * n_v,))[..., : n_fft // 2 + 1]
+    full_i = jnp.swapaxes(xri, -1, -2).reshape(
+        frames.shape[:-1] + (n1 * n_v,))[..., : n_fft // 2 + 1]
+    return jax.lax.complex(full_r, full_i)
+
+
+def irfft_ct(spec: jnp.ndarray, n_fft: int,
+             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """irfft via the inverse two-stage factorization (hermitian-extended
+    input, real output kept throughout as separate re/im matmuls)."""
+    n1, n2 = _ct_factors(n_fft)
+    n_bins = n_fft // 2 + 1
+    # hermitian extension to the full N-point spectrum
+    tail = jnp.conj(spec[..., 1 : n_fft - n_bins + 1][..., ::-1])
+    full = jnp.concatenate([spec, tail], axis=-1)
+    xr, xi = jnp.real(full), jnp.imag(full)
+    # k = u + n1*v  ->  reshape (..., v, u) then swap to (..., u, v)
+    xr = jnp.swapaxes(xr.reshape(xr.shape[:-1] + (n2, n1)), -1, -2)
+    xi = jnp.swapaxes(xi.reshape(xi.shape[:-1] + (n2, n1)), -1, -2)
+
+    b = jnp.arange(n2, dtype=jnp.float32)
+    u = jnp.arange(n1, dtype=jnp.float32)
+    v = jnp.arange(n2, dtype=jnp.float32)
+    a = jnp.arange(n1, dtype=jnp.float32)
+    w2 = (2.0 * np.pi / n2) * v[:, None] * b[None, :]
+    w2c, w2s = jnp.cos(w2), jnp.sin(w2)                        # (n2, n2), +i
+    tw = (2.0 * np.pi / n_fft) * b[:, None] * u[None, :]
+    twc, tws = jnp.cos(tw), jnp.sin(tw)                        # (n2, n1), +i
+    w1 = (2.0 * np.pi / n1) * u[:, None] * a[None, :]
+    w1c, w1s = jnp.cos(w1), jnp.sin(w1)                        # (n1, n1), +i
+
+    # stage 1: inverse DFT over v: G[u, b] = sum_v X[u, v] e^{+2pi i b v/n2}
+    gr = (jnp.einsum("...uv,vb->...ub", xr, w2c, precision=precision)
+          - jnp.einsum("...uv,vb->...ub", xi, w2s, precision=precision))
+    gi = (jnp.einsum("...uv,vb->...ub", xr, w2s, precision=precision)
+          + jnp.einsum("...uv,vb->...ub", xi, w2c, precision=precision))
+    # twiddle e^{+2pi i b u / N}
+    hr = gr * twc.T - gi * tws.T
+    hi = gr * tws.T + gi * twc.T
+    # stage 2: inverse DFT over u, REAL part only:
+    # x[a, b] = (1/N) Re( sum_u H[u, b] e^{+2pi i a u/n1} )
+    out = (jnp.einsum("...ub,ua->...ab", hr, w1c.T, precision=precision)
+           - jnp.einsum("...ub,ua->...ab", hi, w1s.T, precision=precision))
+    return out.reshape(out.shape[:-2] + (n_fft,)) / n_fft
+
+
 def stft(
     x: jnp.ndarray,
     n_fft: int = 1024,
@@ -122,6 +215,8 @@ def stft(
     frames = frame_signal(x, n_fft, hop_length, center=center)
     if method == "matmul":
         return rfft_matmul(frames * window, n_fft)
+    if method == "ct":
+        return rfft_ct(frames * window, n_fft)
     return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
 
 
@@ -177,6 +272,8 @@ def istft(
 
     if method == "matmul":
         frames = irfft_matmul(spec, n_fft) * window
+    elif method == "ct":
+        frames = irfft_ct(spec, n_fft) * window
     else:
         frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
 

@@ -46,10 +46,12 @@ def main():
                             n_samples=cfg.audio.clip_samples,
                             overlap=cfg.audio.eval_overlap_frames,
                             out_wire="pcm16")
-        jax.block_until_ready(bfn())
+        np.asarray(bfn()[0, 0])  # scalar fetch: forces through the relay
         t0 = time.perf_counter()
-        res = [bfn() for _ in range(10)]
-        jax.block_until_ready(res)
+        res = None
+        for _ in range(10):
+            res = bfn()
+        np.asarray(res[0, 0])
         ms = (time.perf_counter() - t0) / 10
         print(f"{dt}: device batch {ms*1000:7.2f} ms = "
               f"{ms/B*1000:6.3f} ms/clip ({B/ms:6.1f} clips/s)", flush=True)

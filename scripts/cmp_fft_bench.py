@@ -48,7 +48,7 @@ def main():
 
     results = {}
     out_ref = None
-    for method in ("fft", "matmul"):
+    for method in ("fft", "ct"):
         cfg = Config()
         cfg = dataclasses.replace(
             cfg, audio=dataclasses.replace(cfg.audio, stft_method=method))
@@ -72,7 +72,9 @@ def main():
         results[method] = ms
         print(f"stft_method={method:7s}: {ms:8.2f} ms  ({ms / B:.3f} ms/clip)")
 
-    print(f"speedup: {results['fft'] / results['matmul']:.2f}x")
+    keys = list(results)
+    if len(keys) == 2:
+        print(f"speedup: {results[keys[0]] / results[keys[1]]:.2f}x")
 
 
 if __name__ == "__main__":

@@ -36,14 +36,22 @@ if REFERENCE not in sys.path:
 
 # utilityFunctions imports librosa and torchaudio at module top; neither is
 # installed in-image and neither is touched by the functions this test uses
-# (get_STFT/inverse_STFT/windowing are pure torch). Stub them for import.
+# (get_STFT/inverse_STFT/windowing are pure torch). Stub them JUST for the
+# import, then remove the stubs — leaving them in sys.modules would make
+# other tests' `import librosa` succeed with an empty module (it broke
+# test_librosa_goldens' skip detection).
+_stubbed = []
 for _name in ("librosa", "torchaudio"):
     if _name not in sys.modules:
         sys.modules[_name] = types.ModuleType(_name)
+        _stubbed.append(_name)
 
 import content_encoder as ref_content_mod  # noqa: E402
 import SimpleDecoder_TransformerOnly as ref_decoder_mod  # noqa: E402
 import utilityFunctions as uf  # noqa: E402
+
+for _name in _stubbed:
+    del sys.modules[_name]
 
 from ast_tpu.compat.torch_import import (  # noqa: E402
     convert_content_encoder,
