@@ -240,6 +240,40 @@ def test_mp3_response_on_grid_rate():
         srv.shutdown()
 
 
+def test_mulaw_wire_server():
+    """A daemon configured with wire='mulaw8' serves correct audio (the
+    companding happens on device inside the transfer program)."""
+    pipe = StyleTransferPipeline.init_random(TINY, seed=3)
+    srv = TransferServer(pipe, port=0, max_seconds=60.0,
+                         bucket_seconds=TINY_AUDIO.clip_seconds,
+                         wire="mulaw8")
+    srv.start_background()
+    try:
+        host, port = srv.address[:2]
+        sr = TINY_AUDIO.sample_rate
+        rng = np.random.default_rng(5)
+        wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)
+               ).astype(np.float32)
+        status, body, ctype = _post(
+            f"http://{host}:{port}/transfer?target=violin",
+            _wav_bytes(wav, sr))
+        assert status == 200 and ctype == "audio/wav", body
+        with wave.open(io.BytesIO(body), "rb") as w:
+            out = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        assert out.size > 0 and np.isfinite(out.astype(np.float32)).all()
+        # must stay close to what the float pipeline produces (clipped to
+        # the wav range, since mu-law egress clips on device)
+        ref = np.clip(pipe.process_audio(
+            np.pad(wav, (0, 0)), 1), -1.0, 1.0)
+        hop = TINY_AUDIO.hop_length
+        ref = ref[: hop * (len(wav) // hop)]
+        got = out.astype(np.float32)[: len(ref)] / 32768.0
+        scale = np.abs(ref).mean() + 1e-9
+        assert np.abs(got - ref).mean() / scale < 0.05
+    finally:
+        srv.shutdown()
+
+
 def test_oversized_body_closes_connection(server):
     """A 413 on an unconsumed body must close the keep-alive connection —
     otherwise the unread body bytes would be parsed as the next request."""
