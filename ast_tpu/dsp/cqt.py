@@ -243,6 +243,7 @@ def _cqt_recursive(
     alpha_mode: str,
     pad_mode: str = "constant",
     sparsity: float = _DEF.cqt_sparsity,
+    batched: bool | None = None,
 ) -> jnp.ndarray:
     """librosa's recursive octave-downsampling CQT evaluation
     (librosa.vqt: top octave at full rate, then 2:1 downsample per octave,
@@ -267,7 +268,19 @@ def _cqt_recursive(
     my_sr = float(sr)
     my_hop = hop_length
 
-    responses = []  # top octave first, like librosa's vqt_resp
+    # The per-octave filterbank depends only on the freq/rate RATIOS, which
+    # are identical for every full octave (freqs and the rate both halve), so
+    # all full octaves share one (n_filters, n_fft) basis. Framing them with
+    # the halved hop yields (near-)equal frame counts, letting the rFFT and
+    # the basis matmul run as ONE batched dispatch over an
+    # (octaves, batch, T, n_fft) stack instead of n_octaves serialized
+    # chains — the downsample chain itself stays sequential (it must), but
+    # it is a handful of cheap polyphase convs.
+    # batched=False forces the per-octave loop (the measurement/testing
+    # reference); the batched path requires full octaves.
+    uniform = n_bins == n_filters * n_octaves and batched is not False
+
+    signals = []  # (signal, hop) per octave, top octave first
     for i in range(n_octaves):
         if i > 0:
             # librosa resample(scale=True): y /= sqrt(target/orig) = *sqrt(2).
@@ -282,18 +295,42 @@ def _cqt_recursive(
                           window="kaiser") * np.float32(np.sqrt(2.0))
             my_sr /= 2.0
             my_hop //= 2
-        lo = max(n_bins - n_filters * (i + 1), 0)
-        hi = n_bins - n_filters * i
-        fft_basis, _, n_fft = _octave_kernel(my_sr, tuple(freqs_all[lo:hi]), Q,
-                                             sparsity)
-        # compensate the downsampling energy scaling (librosa vqt)
-        basis_t = jnp.asarray(fft_basis).T * np.float32(np.sqrt(2.0 ** i))
-        frames = frame_signal(my, n_fft, my_hop, center=True, pad_mode=pad_mode)
-        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1) @ basis_t
-        responses.append(spec)  # (batch, T_i, filters_in_octave)
+        signals.append((my, my_sr, my_hop))
 
-    T = min(r.shape[-2] for r in responses)  # __trim_stack
-    out = jnp.concatenate([r[:, :T, :] for r in reversed(responses)], axis=-1)
+    if uniform:
+        # shared basis: built from the TOP octave's ratios (identical to the
+        # per-octave bases up to float-ulp in the frequency grid; verified
+        # against the per-octave loop by tests/test_cqt.py)
+        fft_basis, _, n_fft = _octave_kernel(
+            float(sr), tuple(freqs_all[n_bins - n_filters:]), Q, sparsity)
+        basis_t = jnp.asarray(fft_basis).T
+        frames_all = [frame_signal(s, n_fft, h, center=True, pad_mode=pad_mode)
+                      for s, _, h in signals]
+        T = min(f.shape[-2] for f in frames_all)  # __trim_stack
+        stack = jnp.stack([f[:, :T] for f in frames_all])  # (O, B, T, n_fft)
+        spec = jnp.fft.rfft(stack, n=n_fft, axis=-1) @ basis_t
+        # compensate the downsampling energy scaling (librosa vqt)
+        comp = jnp.sqrt(2.0 ** jnp.arange(n_octaves, dtype=jnp.float32))
+        spec = spec * comp[:, None, None, None]
+        # low octave first on the bin axis
+        out = jnp.concatenate([spec[i] for i in range(n_octaves - 1, -1, -1)],
+                              axis=-1)
+    else:
+        responses = []  # top octave first, like librosa's vqt_resp
+        for i, (s, s_sr, s_hop) in enumerate(signals):
+            lo = max(n_bins - n_filters * (i + 1), 0)
+            hi = n_bins - n_filters * i
+            fft_basis, _, n_fft = _octave_kernel(s_sr, tuple(freqs_all[lo:hi]),
+                                                 Q, sparsity)
+            basis_t = jnp.asarray(fft_basis).T * np.float32(np.sqrt(2.0 ** i))
+            frames = frame_signal(s, n_fft, s_hop, center=True,
+                                  pad_mode=pad_mode)
+            spec = jnp.fft.rfft(frames, n=n_fft, axis=-1) @ basis_t
+            responses.append(spec)  # (batch, T_i, filters_in_octave)
+
+        T = min(r.shape[-2] for r in responses)  # __trim_stack
+        out = jnp.concatenate([r[:, :T, :] for r in reversed(responses)],
+                              axis=-1)
     out = out.reshape(lead + (T, n_bins))
 
     if scale:

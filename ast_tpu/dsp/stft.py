@@ -234,6 +234,29 @@ def stft_ri(
     return jnp.stack([jnp.real(s), jnp.imag(s)], axis=0).astype(jnp.float32)
 
 
+def overlap_add_chunked(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add of (..., n_frames, n_fft) frames at stride `hop`, for the
+    n_fft % hop == 0 case, as r = n_fft/hop shifted pad+adds (no scatter).
+
+    Frame t occupies output samples [t*hop, t*hop + n_fft); viewing each
+    frame as r hop-sized chunks, chunk j of frame t is output block t+j, so
+    summing r zero-padded chunk streams reproduces the scatter-add exactly
+    (the summands per output sample are identical; only the float addition
+    order differs)."""
+    n_frames, n_fft = frames.shape[-2:]
+    assert n_fft % hop == 0
+    r = n_fft // hop
+    lead = frames.shape[:-2]
+    chunks = frames.reshape(lead + (n_frames, r, hop))
+    pad0 = [(0, 0)] * len(lead)
+    acc = None
+    for j in range(r):
+        shifted = jnp.pad(chunks[..., j, :],
+                          pad0 + [(j, r - 1 - j), (0, 0)])
+        acc = shifted if acc is None else acc + shifted
+    return acc.reshape(lead + ((n_frames + r - 1) * hop,))
+
+
 @functools.lru_cache(maxsize=8)
 def _ola_envelope(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
     """Sum of squared windows at each output sample (torch.istft denominator)."""
@@ -281,9 +304,15 @@ def istft(
 
     lead_shape = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
-    if use_pallas is None:
-        use_pallas = _jax.default_backend() == "tpu"
-    if use_pallas:
+    if n_fft % hop_length == 0:
+        # Scatter-free OLA: frame t's chunk j (of r = n_fft/hop hop-sized
+        # chunks) lands on output block t+j, so the whole overlap-add is r
+        # shifted pad+adds of a (batch, n_frames, hop) stream — pure
+        # elementwise ops that XLA fuses with the irfft epilogue (no scatter,
+        # no Pallas needed; faster than both on TPU).
+        out = overlap_add_chunked(flat, hop_length)
+    elif use_pallas if use_pallas is not None else (
+            _jax.default_backend() == "tpu"):
         from ast_tpu.ops.pallas_ola import overlap_add_waveform
 
         out = _jax.vmap(

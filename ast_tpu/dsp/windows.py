@@ -57,16 +57,19 @@ def get_overlap_windows(
     T is static under jit (XLA requirement), so the gather index matrix is a
     trace-time constant."""
     _, n_time, _ = spec.shape
-    starts = np.asarray(window_starts(n_time, window_size, overlap_frames))
-    if starts.size == 0:
+    starts = window_starts(n_time, window_size, overlap_frames)
+    if len(starts) == 0:
         raise ValueError(f"spectrogram too short: T={n_time} < {window_size/2}")
-    # frame index per (section, position); positions past T map to a zero pad.
-    idx = starts[:, None] + np.arange(window_size)[None, :]  # (S, W)
-    valid = idx < n_time
-    idx = np.where(valid, idx, 0)
-    gathered = spec[:, idx, :]  # (2, S, W, F)
-    gathered = gathered * jnp.asarray(valid[None, :, :, None], dtype=spec.dtype)
-    return jnp.transpose(gathered, (1, 0, 2, 3))
+    # Starts are static, so each window is a static slice (zero-padded past
+    # T for the tail window) — slices + one stack instead of an XLA gather.
+    outs = []
+    for start in starts:
+        end = min(start + window_size, n_time)
+        w = spec[:, start:end, :]
+        if end - start < window_size:
+            w = jnp.pad(w, ((0, 0), (0, window_size - (end - start)), (0, 0)))
+        outs.append(w)
+    return jnp.stack(outs, axis=0)
 
 
 @functools.lru_cache(maxsize=32)
@@ -90,10 +93,23 @@ def sections2spectrogram(
     hop = window_size - overlap
     n_time = hop * (n_sections - 1) + window_size
 
-    idx = (np.arange(n_sections)[:, None] * hop + np.arange(window_size)[None, :]).reshape(-1)
-    flat = jnp.transpose(sections, (1, 0, 2, 3)).reshape(ch, -1, n_freq)  # (2, S*W, F)
-    full = jnp.zeros((ch, n_time, n_freq), dtype=sections.dtype)
-    full = full.at[:, idx, :].add(flat)
+    if n_sections <= 32:
+        # S is small and static: the overlap-add is S shifted pad+adds (pure
+        # elementwise, fuses in XLA) instead of a scatter over S*W rows.
+        full = None
+        for s in range(n_sections):
+            shifted = jnp.pad(
+                sections[s],
+                ((0, 0), (s * hop, n_time - s * hop - window_size), (0, 0)))
+            full = shifted if full is None else full + shifted
+    else:
+        # minute-scale clips: an unrolled pad chain would bloat the HLO;
+        # keep the single scatter-add
+        idx = (np.arange(n_sections)[:, None] * hop
+               + np.arange(window_size)[None, :]).reshape(-1)
+        flat = jnp.transpose(sections, (1, 0, 2, 3)).reshape(ch, -1, n_freq)
+        full = jnp.zeros((ch, n_time, n_freq), dtype=sections.dtype)
+        full = full.at[:, idx, :].add(flat)
     count = jnp.asarray(_ola_counts(n_sections, window_size, overlap))
     full = full / count[None, :, None]
     out = full[:, :original_size, :]

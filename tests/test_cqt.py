@@ -191,3 +191,19 @@ def test_kaiser_decimator_stopband():
     rms = lambda v: float(np.sqrt(np.mean(v[100:-100] ** 2)))
     assert rms(kaiser) < rms(hann) / 10
     assert rms(kaiser) < 1e-3
+
+
+def test_batched_octaves_match_per_octave_loop():
+    """The single-dispatch batched-octave evaluation (shared basis across
+    full octaves, stacked frames, one rFFT+matmul) must match the
+    per-octave loop it replaced to float-ulp-of-the-frequency-grid level."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray((0.1 * rng.standard_normal(2 * SR)).astype(np.float32))
+    kw = dict(sr=SR, n_bins=NBINS, hop_length=HOP, bins_per_octave=12,
+              fmin=32.70319566257483, filter_scale=1.0, scale=True,
+              alpha_mode="librosa")
+    fast = np.asarray(C._cqt_recursive(x, batched=True, **kw))
+    loop = np.asarray(C._cqt_recursive(x, batched=False, **kw))
+    assert fast.shape == loop.shape
+    denom = np.abs(loop).mean()
+    assert np.abs(fast - loop).mean() / denom < 1e-5
