@@ -62,14 +62,49 @@ def _reduce(orig_freq: int, new_freq: int) -> tuple:
     return new_freq // g, orig_freq // g
 
 
+@functools.lru_cache(maxsize=32)
+def _block_mats(up: int, down: int, lowpass_filter_width: int,
+                rolloff: float, window: str, beta: float) -> tuple:
+    """Block-Toeplitz matmul form of the polyphase filter.
+
+    A strided FIR is a terrible fit for the MXU as a conv (C_in=1, ~70-tap
+    contraction, measured ~1.2 ms per 2:1 stage as lax.conv = pure dispatch
+    and layout overhead for <0.2 GFLOP). Reformulated: tile the padded
+    signal into C-sample chunks (C = Bb*down); the Bb*up outputs of chunk m
+    depend only on chunks m and m+1, so the whole resample is TWO dense
+    (C, Bb*up) matmuls — full 128-lane contraction, fuses with neighbors.
+
+    Returns (W1, W2, width, Bb, C) with
+      out[m*Bb + b, p] = sum_i chunk_m[i] W1[i, b*up+p]
+                       + sum_i chunk_{m+1}[i] W2[i, b*up+p].
+    """
+    kernel, width = _kernel(up, down, lowpass_filter_width, rolloff, window,
+                            beta)
+    taps = kernel.shape[1]
+    # Bb*down >= ~128 for full MXU contraction; also need the Bb-block's
+    # input span (Bb-1)*down + taps to fit in two chunks: taps <= C + down
+    Bb = max(-(-128 // down), -(-(taps - down) // down), 1)
+    C = Bb * down
+    W = np.zeros((2 * C, Bb * up), np.float32)
+    for b in range(Bb):
+        W[b * down : b * down + taps, b * up : (b + 1) * up] = kernel.T
+    return W[:C], W[C:], width, Bb, C
+
+
 def resample(x: jnp.ndarray, orig_freq: int, new_freq: int,
              lowpass_filter_width: int = LOWPASS_WIDTH,
-             rolloff: float = ROLLOFF, window: str = "hann") -> jnp.ndarray:
+             rolloff: float = ROLLOFF, window: str = "hann",
+             method: str = "matmul") -> jnp.ndarray:
     """Resample a (..., n) signal. Output length = ceil(n * new/orig).
 
     The default kernel matches torchaudio's sinc_interp_hann (the reference
     loader's path); window="kaiser" with the KAISER_* preset gives the
-    high-rejection decimator used inside the recursive CQT."""
+    high-rejection decimator used inside the recursive CQT.
+
+    method="matmul" (default) evaluates the polyphase filter as two dense
+    block-Toeplitz MXU matmuls (see _block_mats) — identical summands per
+    output sample as the strided conv, ~6x faster on TPU for the CQT's 2:1
+    decimation chain; method="conv" keeps the lax.conv evaluation."""
     if orig_freq == new_freq:
         return x
     up, down = _reduce(orig_freq, new_freq)
@@ -78,6 +113,18 @@ def resample(x: jnp.ndarray, orig_freq: int, new_freq: int,
     target_len = int(math.ceil(n * up / down))
 
     lead = x.shape[:-1]
+    if method == "matmul":
+        w1_np, w2_np, width, Bb, Cb = _block_mats(
+            up, down, lowpass_filter_width, rolloff, window, KAISER_BETA)
+        w1, w2 = jnp.asarray(w1_np), jnp.asarray(w2_np)
+        xf = x.reshape((-1, n))
+        m_chunks = -(-target_len // (Bb * up))
+        total = (m_chunks + 1) * Cb  # chunk m+1 must exist for the last m
+        xf = jnp.pad(xf, ((0, 0), (width, total - n - width)))
+        chunks = xf.reshape(xf.shape[0], m_chunks + 1, Cb)
+        out = chunks[:, :-1] @ w1 + chunks[:, 1:] @ w2
+        out = out.reshape(out.shape[0], -1)[:, :target_len]
+        return out.reshape(lead + (target_len,))
     xf = x.reshape((-1, 1, n))
     xf = jnp.pad(xf, ((0, 0), (0, 0), (width, width + down)))
     k = jnp.asarray(kernel)[:, None, :]  # (up, 1, taps) -> OIH
