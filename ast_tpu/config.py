@@ -40,10 +40,22 @@ class AudioConfig:
     # delta vs the direct evaluation at ~0.5% even on broadband content);
     # "direct" = all bins at the full rate, no resampling error
     cqt_algorithm: str = "recursive"
-    # STFT/ISTFT evaluation: "fft" (jnp.fft) or "matmul" (DFT as MXU
-    # matmuls at Precision.HIGHEST — fp32-grade, ~5e-5 relative delta;
-    # faster on TPU where XLA's FFT is not MXU-resident).
-    stft_method: str = "fft"
+    # STFT/ISTFT evaluation: "fft" (jnp.fft), "matmul" (DFT as MXU matmuls),
+    # "ct" (two-stage Cooley-Tukey matmul), or "auto" = matmul on TPU / fft
+    # elsewhere. On TPU the DFT matmul at dft_precision="high" is BOTH ~1.7x
+    # faster than jnp.fft (5.9 vs 10.6 ms stft, 6.3 vs 10.0 ms istft at
+    # B=32) and more accurate on the inverse: XLA's TPU IRFFT shows ~2.9e-1
+    # max relative error vs a fp64 oracle (scripts/cmp_irfft_diag.py), while
+    # the matmul at "high" (bf16x3) holds ~4e-5.
+    stft_method: str = "auto"
+    # Precision for the DFT/CQT matmul evaluations: "default" (one bf16
+    # pass, ~2e-3), "high" (bf16x3, ~6e-5, fastest measured on-chip), or
+    # "highest" (bf16x6, same accuracy as high on these sizes, slower).
+    dft_precision: str = "high"
+    # Recursive-CQT octave transform: "rfft" (rfft + sparse-basis matmul),
+    # "matmul" (time-domain collapsed-kernel MXU matmul, identical
+    # summands), or "auto" = matmul on TPU / rfft elsewhere.
+    cqt_transform: str = "auto"
 
     # Windowing of spectrogram frames into model sections
     window_size: int = 287          # frames per section

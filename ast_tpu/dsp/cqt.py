@@ -162,6 +162,26 @@ def _octave_kernel(sr: float, freqs: tuple, Q: float,
     return _build_fft_basis(np.asarray(freqs, np.float64), sr, Q, sparsity)
 
 
+@functools.lru_cache(maxsize=64)
+def _octave_td_kernel(sr: float, freqs: tuple, Q: float,
+                      sparsity: float = _DEF.cqt_sparsity) -> tuple:
+    """Time-domain collapse of the one-sided octave filterbank.
+
+    resp[k] = sum_f B[k, f] * rfft(frame)[f]
+            = sum_n frame[n] * G[k, n],  G[k, n] = sum_f B[k, f] e^{-2pi i fn/N}
+    (G = full FFT along f of the zero-extended one-sided basis), so the whole
+    octave transform is ONE dense (T, n_fft) @ (n_fft, 2*k) MXU matmul —
+    algebraically identical summands to the rfft + basis-matmul path, but
+    MXU-resident (XLA's TPU FFT is not). Returns (Gr (n_fft, k),
+    Gi (n_fft, k), n_fft) with resp = frames @ Gr + 1j * (frames @ Gi)."""
+    fft_basis, lengths, n_fft = _octave_kernel(sr, freqs, Q, sparsity)
+    full = np.zeros((fft_basis.shape[0], n_fft), np.complex128)
+    full[:, : fft_basis.shape[1]] = fft_basis
+    G = np.fft.fft(full, axis=1)
+    return (np.ascontiguousarray(G.real.T).astype(np.float32),
+            np.ascontiguousarray(G.imag.T).astype(np.float32), n_fft)
+
+
 def cqt(
     x: jnp.ndarray,
     sr: int = _DEF.sample_rate,
@@ -175,8 +195,15 @@ def cqt(
     algorithm: str = "direct",
     alpha_mode: str = "librosa",
     sparsity: float = _DEF.cqt_sparsity,
+    transform: str = "rfft",
+    precision="highest",
 ) -> jnp.ndarray:
     """Complex CQT of a (..., n_samples) signal -> (..., n_frames, n_bins).
+
+    transform="matmul" (recursive algorithm only) evaluates each octave's
+    response as one time-domain MXU matmul (see _octave_td_kernel) instead of
+    rfft + basis matmul — identical summands, ~2x faster on TPU at
+    precision="high" with fp32-grade accuracy.
 
     Time-major layout; n_frames = 1 + n_samples // hop (same framing as stft,
     center=True with reflect padding) for the direct algorithm; the recursive
@@ -190,7 +217,8 @@ def cqt(
     if algorithm == "recursive":
         return _cqt_recursive(x, sr, n_bins, hop_length, bins_per_octave,
                               fmin, filter_scale, scale, alpha_mode,
-                              sparsity=sparsity)
+                              sparsity=sparsity, transform=transform,
+                              precision=precision)
     if algorithm != "direct":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     fft_basis, lengths, n_fft = cqt_kernel(sr, n_bins, bins_per_octave, fmin,
@@ -244,6 +272,8 @@ def _cqt_recursive(
     pad_mode: str = "constant",
     sparsity: float = _DEF.cqt_sparsity,
     batched: bool | None = None,
+    transform: str = "rfft",
+    precision="highest",
 ) -> jnp.ndarray:
     """librosa's recursive octave-downsampling CQT evaluation
     (librosa.vqt: top octave at full rate, then 2:1 downsample per octave,
@@ -308,7 +338,17 @@ def _cqt_recursive(
                       for s, _, h in signals]
         T = min(f.shape[-2] for f in frames_all)  # __trim_stack
         stack = jnp.stack([f[:, :T] for f in frames_all])  # (O, B, T, n_fft)
-        spec = jnp.fft.rfft(stack, n=n_fft, axis=-1) @ basis_t
+        from ast_tpu.dsp.stft import dot_precision, resolve_dft_method
+
+        if resolve_dft_method(transform, "matmul", "rfft") == "matmul":
+            gr, gi, _ = _octave_td_kernel(
+                float(sr), tuple(freqs_all[n_bins - n_filters:]), Q, sparsity)
+            p = dot_precision(precision)
+            spec = jax.lax.complex(
+                jnp.matmul(stack, jnp.asarray(gr), precision=p),
+                jnp.matmul(stack, jnp.asarray(gi), precision=p))
+        else:
+            spec = jnp.fft.rfft(stack, n=n_fft, axis=-1) @ basis_t
         # compensate the downsampling energy scaling (librosa vqt)
         comp = jnp.sqrt(2.0 ** jnp.arange(n_octaves, dtype=jnp.float32))
         spec = spec * comp[:, None, None, None]
@@ -346,6 +386,8 @@ def cqt_ri(
     hop_length: int = _DEF.hop_length,
     algorithm: str = "direct",
     sparsity: float = _DEF.cqt_sparsity,
+    transform: str = "rfft",
+    precision="highest",
 ) -> jnp.ndarray:
     """CQT in the reference's packed layout (2, T, F)
     (reference: utilityFunctions.py:54-60). Feature pipelines pass
@@ -353,7 +395,8 @@ def cqt_ri(
     librosa.cqt's 0.01-quantile basis sparsification (on by default there,
     hence here)."""
     c = cqt(x, sr=sr, n_bins=n_bins, hop_length=hop_length,
-            algorithm=algorithm, sparsity=sparsity)
+            algorithm=algorithm, sparsity=sparsity, transform=transform,
+            precision=precision)
     return jnp.stack([jnp.real(c), jnp.imag(c)], axis=0).astype(jnp.float32)
 
 

@@ -37,9 +37,12 @@ def extract_features(
 
     Equivalent of the reference's dataloader.__getitem__ feature path for one
     instrument (dataloader.py:101-114)."""
-    s = stft_ri(waveform, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+    s = stft_ri(waveform, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                method=cfg.stft_method, precision=cfg.dft_precision)
     c = cqt_ri(waveform, sr=cfg.sample_rate, n_bins=cfg.cqt_bins,
-               hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm, sparsity=cfg.cqt_sparsity)
+               hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm,
+               sparsity=cfg.cqt_sparsity, transform=cfg.cqt_transform,
+               precision=cfg.dft_precision)
     s = normalize(s, stft_mean, stft_std)
     c = normalize(c, cqt_mean, cqt_std)
     feats = concat_stft_cqt(s, c)

@@ -62,6 +62,30 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, center: bool = True,
     return x[..., idx]
 
 
+def resolve_dft_method(method: str, tpu_choice: str = "matmul",
+                       other_choice: str = "fft") -> str:
+    """Resolve method="auto" by backend at trace time: the DFT-as-matmul
+    evaluation wins on TPU (MXU-resident, and XLA's TPU IRFFT is numerically
+    broken at large batch — see AudioConfig.stft_method); jnp.fft wins on
+    CPU/GPU."""
+    if method == "auto":
+        return tpu_choice if jax.default_backend() == "tpu" else other_choice
+    return method
+
+
+def dot_precision(p) -> jax.lax.Precision:
+    """Map a config-level precision string to jax.lax.Precision.
+
+    "highest" = bf16x6 passes (fp32-grade, the faithful default for the DFT
+    matmuls), "high" = bf16x3, "default" = one bf16 pass (the fast-inference
+    preset; ~2e-3 relative error on the DFT, -54 dB)."""
+    if isinstance(p, str):
+        return {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[p]
+    return p
+
+
 def _rdft_mats(n_fft: int):
     """Forward real-DFT as two (n_fft, n_fft//2+1) matmul weights, built
     from iota at trace time (no multi-MB HLO constants through the relay).
@@ -204,19 +228,23 @@ def stft(
     window: jnp.ndarray | None = None,
     center: bool = True,
     method: str = "fft",
+    precision="highest",
 ) -> jnp.ndarray:
     """Complex STFT of a (..., n_samples) signal -> (..., n_frames, n_fft//2+1).
 
     Note the layout is time-major (frames, freq) — the natural layout for the
     rest of the pipeline — whereas torch returns (freq, frames).
-    method="matmul" evaluates the DFT as MXU matmuls (see rfft_matmul)."""
+    method="matmul" evaluates the DFT as MXU matmuls (see rfft_matmul) at the
+    given `precision` ("highest" = fp32-grade; "default" = one bf16 pass,
+    ~2x faster on TPU than jnp.fft at ~2e-3 relative error)."""
     if window is None:
         window = hann_window(n_fft, dtype=x.dtype)
     frames = frame_signal(x, n_fft, hop_length, center=center)
+    method = resolve_dft_method(method)
     if method == "matmul":
-        return rfft_matmul(frames * window, n_fft)
+        return rfft_matmul(frames * window, n_fft, dot_precision(precision))
     if method == "ct":
-        return rfft_ct(frames * window, n_fft)
+        return rfft_ct(frames * window, n_fft, dot_precision(precision))
     return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
 
 
@@ -226,11 +254,12 @@ def stft_ri(
     hop_length: int = 256,
     center: bool = True,
     method: str = "fft",
+    precision="highest",
 ) -> jnp.ndarray:
     """STFT in the reference's packed layout: (2, T, F) with channel 0 = real,
     channel 1 = imag (reference: utilityFunctions.py:31-37)."""
     s = stft(x, n_fft=n_fft, hop_length=hop_length, center=center,
-             method=method)
+             method=method, precision=precision)
     return jnp.stack([jnp.real(s), jnp.imag(s)], axis=0).astype(jnp.float32)
 
 
@@ -277,6 +306,7 @@ def istft(
     length: int | None = None,
     use_pallas: bool | None = None,
     method: str = "fft",
+    precision="highest",
 ) -> jnp.ndarray:
     """Inverse STFT of a complex (..., n_frames, n_fft//2+1) spectrogram.
 
@@ -293,10 +323,11 @@ def istft(
     if window is None:
         window = hann_window(n_fft)
 
+    method = resolve_dft_method(method)
     if method == "matmul":
-        frames = irfft_matmul(spec, n_fft) * window
+        frames = irfft_matmul(spec, n_fft, dot_precision(precision)) * window
     elif method == "ct":
-        frames = irfft_ct(spec, n_fft) * window
+        frames = irfft_ct(spec, n_fft, dot_precision(precision)) * window
     else:
         frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
 
@@ -345,9 +376,10 @@ def istft_ri(
     hop_length: int = 256,
     length: int | None = None,
     method: str = "fft",
+    precision="highest",
 ) -> jnp.ndarray:
     """Inverse STFT from the packed (2, T, F) real/imag layout
     (reference: utilityFunctions.py:62-82)."""
     spec = jax.lax.complex(spec_ri[0], spec_ri[1])
     return istft(spec, n_fft=n_fft, hop_length=hop_length, length=length,
-                 method=method)
+                 method=method, precision=precision)

@@ -209,10 +209,11 @@ class StyleTransferPipeline:
             a = cfg.audio
             waveform = _wire_decode_jnp(waveform)  # pcm16/mulaw8 wire (serving)
             s = stft_ri(waveform, n_fft=a.n_fft, hop_length=a.hop_length,
-                        method=a.stft_method)
+                        method=a.stft_method, precision=a.dft_precision)
             c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
                        hop_length=a.hop_length, algorithm=a.cqt_algorithm,
-                       sparsity=a.cqt_sparsity)
+                       sparsity=a.cqt_sparsity, transform=a.cqt_transform,
+                       precision=a.dft_precision)
             if self.stats is not None:  # opt-in; reference never normalizes
                 from ast_tpu.dsp.norm import normalize
 
@@ -244,7 +245,8 @@ class StyleTransferPipeline:
             T = feats.shape[1]
             full = sections2spectrogram(out[0], T, overlap)
             wav_out = istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length,
-                               method=a.stft_method)
+                               method=a.stft_method,
+                               precision=a.dft_precision)
             return _wire_encode_jnp(wav_out, out_wire)
 
         return core
@@ -303,10 +305,11 @@ class StyleTransferPipeline:
 
             def featurize(w):
                 s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length,
-                            method=a.stft_method)
+                            method=a.stft_method, precision=a.dft_precision)
                 c = cqt_ri(w, sr=a.sample_rate, n_bins=a.cqt_bins,
                            hop_length=a.hop_length, algorithm=a.cqt_algorithm,
-                       sparsity=a.cqt_sparsity)
+                           sparsity=a.cqt_sparsity, transform=a.cqt_transform,
+                           precision=a.dft_precision)
                 if self.stats is not None:  # opt-in; reference never normalizes
                     from ast_tpu.dsp.norm import normalize
 
@@ -331,7 +334,8 @@ class StyleTransferPipeline:
                 full = sections2spectrogram(windows, T, overlap)
                 return istft_ri(full, n_fft=a.n_fft,
                                 hop_length=a.hop_length,
-                                method=a.stft_method)
+                                method=a.stft_method,
+                                precision=a.dft_precision)
 
             wavs_out = jax.vmap(invert)(out)
             return _wire_encode_jnp(wavs_out, out_wire)

@@ -69,14 +69,17 @@ def main():
         @jax.jit
         def core(waveforms, content_vars, decoder_vars, class_embeddings):
             def featurize(w):
-                s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length)
+                s = stft_ri(w, n_fft=a.n_fft, hop_length=a.hop_length,
+                            method=a.stft_method, precision=a.dft_precision)
                 if "cqt" in skip:
                     c = jnp.zeros((2, s.shape[1], a.cqt_bins), s.dtype)
                 else:
                     c = cqt_ri(w, sr=a.sample_rate, n_bins=a.cqt_bins,
                                hop_length=a.hop_length,
                                algorithm=a.cqt_algorithm,
-                               sparsity=a.cqt_sparsity)
+                               sparsity=a.cqt_sparsity,
+                               transform=a.cqt_transform,
+                               precision=a.dft_precision)
                 feats = concat_stft_cqt(s, c)
                 return feats, get_overlap_windows(
                     feats, window_size=a.window_size, overlap_frames=overlap)
@@ -100,7 +103,9 @@ def main():
 
             def invert(windows):
                 full = sections2spectrogram(windows, T, overlap)
-                return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length)
+                return istft_ri(full, n_fft=a.n_fft, hop_length=a.hop_length,
+                                method=a.stft_method,
+                                precision=a.dft_precision)
 
             return jax.vmap(invert)(out)
 

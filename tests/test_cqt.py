@@ -207,3 +207,22 @@ def test_batched_octaves_match_per_octave_loop():
     assert fast.shape == loop.shape
     denom = np.abs(loop).mean()
     assert np.abs(fast - loop).mean() / denom < 1e-5
+
+
+def test_time_domain_matmul_transform_matches_rfft():
+    """transform="matmul" collapses each octave's rfft+basis-matmul into one
+    time-domain MXU matmul with algebraically identical summands — outputs
+    must agree to fp32 accumulation accuracy."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray((0.1 * rng.standard_normal(2 * SR)).astype(np.float32))
+    kw = dict(sr=SR, n_bins=NBINS, hop_length=HOP,
+              algorithm="recursive")
+    a = np.asarray(C.cqt(x, transform="rfft", **kw))
+    b = np.asarray(C.cqt(x, transform="matmul", **kw))
+    assert a.shape == b.shape
+    denom = np.abs(a).mean()
+    assert np.abs(a - b).mean() / denom < 1e-4
+    # and through the packed-layout entrypoint with precision plumbing
+    pa = np.asarray(C.cqt_ri(x, transform="rfft", **kw))
+    pb = np.asarray(C.cqt_ri(x, transform="matmul", precision="high", **kw))
+    assert np.abs(pa - pb).mean() / (np.abs(pa).mean() + 1e-12) < 1e-4
