@@ -344,9 +344,14 @@ def _cqt_recursive(
             gr, gi, _ = _octave_td_kernel(
                 float(sr), tuple(freqs_all[n_bins - n_filters:]), Q, sparsity)
             p = dot_precision(precision)
-            spec = jax.lax.complex(
-                jnp.matmul(stack, jnp.asarray(gr), precision=p),
-                jnp.matmul(stack, jnp.asarray(gi), precision=p))
+            # one GEMM with [Gr|Gi] fused on N and (O,B,T) flattened into M
+            # (the MXU rate collapses for small N; see stft.rfft_matmul)
+            gri = jnp.asarray(np.concatenate([gr, gi], axis=1))
+            flat = jnp.matmul(stack.reshape(-1, stack.shape[-1]), gri,
+                              precision=p).reshape(*stack.shape[:-1],
+                                                   2 * gr.shape[1])
+            spec = jax.lax.complex(flat[..., : gr.shape[1]],
+                                   flat[..., gr.shape[1]:])
         else:
             spec = jnp.fft.rfft(stack, n=n_fft, axis=-1) @ basis_t
         # compensate the downsampling energy scaling (librosa vqt)
@@ -388,8 +393,10 @@ def cqt_ri(
     sparsity: float = _DEF.cqt_sparsity,
     transform: str = "rfft",
     precision="highest",
+    layout: str = "cf",
 ) -> jnp.ndarray:
-    """CQT in the reference's packed layout (2, T, F)
+    """CQT in the reference's packed layout (2, T, F), or channels-last
+    (T, F, 2) with layout="cl" (identical values; see stft_ri)
     (reference: utilityFunctions.py:54-60). Feature pipelines pass
     cfg.audio.cqt_algorithm (default "recursive"). `sparsity` mirrors
     librosa.cqt's 0.01-quantile basis sparsification (on by default there,
@@ -397,7 +404,8 @@ def cqt_ri(
     c = cqt(x, sr=sr, n_bins=n_bins, hop_length=hop_length,
             algorithm=algorithm, sparsity=sparsity, transform=transform,
             precision=precision)
-    return jnp.stack([jnp.real(c), jnp.imag(c)], axis=0).astype(jnp.float32)
+    axis = -1 if layout == "cl" else 0
+    return jnp.stack([jnp.real(c), jnp.imag(c)], axis=axis).astype(jnp.float32)
 
 
 def icqt(

@@ -26,6 +26,13 @@ def denormalize(x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray,
     return x * (std[:, None, :] + eps) + mean[:, None, :]
 
 
+def normalize_cl(x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray,
+                 eps: float = 1e-8) -> jnp.ndarray:
+    """Channels-last normalize: (T, F, 2) feature with the same (2, F) stats
+    (identical arithmetic to normalize; layout for the fused NHWC path)."""
+    return (x - mean.T[None, :, :]) / (std.T[None, :, :] + eps)
+
+
 @dataclasses.dataclass(frozen=True)
 class FeatureStats:
     """Normalization stats for one instrument: (2, F_stft) + (2, F_cqt)."""

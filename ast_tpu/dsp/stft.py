@@ -109,23 +109,38 @@ def _irdft_mats(n_fft: int):
 
 def rfft_matmul(frames: jnp.ndarray, n_fft: int,
                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    """rfft over the last axis as two MXU matmuls.
+    """rfft over the last axis as ONE MXU matmul.
 
     XLA's TPU FFT is not MXU-resident; for n_fft ~1024 the O(N^2) DFT matmul
-    can win on wall clock while keeping fp32-grade accuracy at
-    Precision.HIGHEST (bf16x6 passes)."""
+    wins on wall clock while keeping fp32-grade accuracy at HIGH/HIGHEST.
+    Shape choices measured on-chip (scripts/cmp_dft_micro.py): the MXU rate
+    here collapses for small output dims (N=640 -> 12 TFLOP/s vs N=4096 ->
+    108), so the cos and sin projections are fused into a single GEMM with
+    doubled N (also halving reads of `frames`), and leading dims are
+    flattened into one tall M rather than left as dot_general free dims."""
     c, s = _rdft_mats(n_fft)
-    re = jnp.matmul(frames, c, precision=precision)
-    im = jnp.matmul(frames, s, precision=precision)
-    return jax.lax.complex(re, im)
+    cs = jnp.concatenate([c, s], axis=1)            # (n_fft, 2*(n_fft//2+1))
+    lead = frames.shape[:-1]
+    out = jnp.matmul(frames.reshape(-1, n_fft), cs, precision=precision)
+    out = out.reshape(*lead, cs.shape[1])
+    n_bins = n_fft // 2 + 1
+    return jax.lax.complex(out[..., :n_bins], out[..., n_bins:])
 
 
 def irfft_matmul(spec: jnp.ndarray, n_fft: int,
                  precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
-    """irfft over the last axis as two MXU matmuls (one-sided input)."""
+    """irfft over the last axis as ONE MXU matmul (one-sided input).
+
+    The real and imaginary projections are fused by stacking along K
+    ([Re|Im] @ [[A],[B]]) — identical summands, one GEMM with K=2*(N/2+1),
+    which both doubles the arithmetic per output tile (the MXU here is
+    N/K-bound, see rfft_matmul) and folds the two-matmul add away."""
     a, b = _irdft_mats(n_fft)
-    return (jnp.matmul(jnp.real(spec), a, precision=precision)
-            + jnp.matmul(jnp.imag(spec), b, precision=precision))
+    ab = jnp.concatenate([a, b], axis=0)            # (2*(n_fft//2+1), n_fft)
+    ri = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    lead = ri.shape[:-1]
+    out = jnp.matmul(ri.reshape(-1, ri.shape[-1]), ab, precision=precision)
+    return out.reshape(*lead, n_fft)
 
 
 def _ct_factors(n: int) -> tuple[int, int]:
@@ -255,12 +270,20 @@ def stft_ri(
     center: bool = True,
     method: str = "fft",
     precision="highest",
+    layout: str = "cf",
 ) -> jnp.ndarray:
     """STFT in the reference's packed layout: (2, T, F) with channel 0 = real,
-    channel 1 = imag (reference: utilityFunctions.py:31-37)."""
+    channel 1 = imag (reference: utilityFunctions.py:31-37).
+
+    layout="cl" returns channels-LAST (T, F, 2) instead — identical values;
+    the stack fuses into the DFT producer, so downstream NHWC consumers (the
+    per-window CNN) get their layout for free. The standalone
+    (2,T,F)->(T,F,2) transpose of a materialized feature batch measured
+    8.2 ms at B=32 on-chip — more than half the content encoder's cost."""
     s = stft(x, n_fft=n_fft, hop_length=hop_length, center=center,
              method=method, precision=precision)
-    return jnp.stack([jnp.real(s), jnp.imag(s)], axis=0).astype(jnp.float32)
+    axis = -1 if layout == "cl" else 0
+    return jnp.stack([jnp.real(s), jnp.imag(s)], axis=axis).astype(jnp.float32)
 
 
 def overlap_add_chunked(frames: jnp.ndarray, hop: int) -> jnp.ndarray:

@@ -72,6 +72,30 @@ def get_overlap_windows(
     return jnp.stack(outs, axis=0)
 
 
+def get_overlap_windows_cl(
+    spec: jnp.ndarray,
+    window_size: int = _DEF.window_size,
+    overlap_frames: int = _DEF.overlap_frames,
+) -> jnp.ndarray:
+    """Channels-last variant: (T, F, 2) -> (S, window_size, F, 2).
+
+    Same reference loop semantics as get_overlap_windows
+    (utilityFunctions.py:249-261); used by the fused inference cores so the
+    per-window CNN receives NHWC directly (no materialized transpose)."""
+    n_time = spec.shape[0]
+    starts = window_starts(n_time, window_size, overlap_frames)
+    if len(starts) == 0:
+        raise ValueError(f"spectrogram too short: T={n_time} < {window_size/2}")
+    outs = []
+    for start in starts:
+        end = min(start + window_size, n_time)
+        w = spec[start:end]
+        if end - start < window_size:
+            w = jnp.pad(w, ((0, window_size - (end - start)), (0, 0), (0, 0)))
+        outs.append(w)
+    return jnp.stack(outs, axis=0)
+
+
 @functools.lru_cache(maxsize=32)
 def _ola_counts(n_sections: int, window_size: int, overlap: int) -> np.ndarray:
     hop = window_size - overlap

@@ -31,6 +31,7 @@ from ast_tpu.dsp.cqt import cqt_ri
 from ast_tpu.dsp.stft import istft_ri, stft_ri
 from ast_tpu.dsp.windows import concat_stft_cqt, get_overlap_windows, sections2spectrogram
 from ast_tpu.models import ContentEncoder, Decoder, StyleEncoder, autoregressive_decode
+from ast_tpu.ops.pallas_block0 import fused_block0_active
 
 ID_TO_NAME = {0: "piano", 1: "violin"}
 NAME_TO_ID = {"piano": 0, "violin": 1}
@@ -142,6 +143,19 @@ class StyleTransferPipeline:
     class_embeddings: jnp.ndarray  # (num_classes, d)
     stats: Optional[object] = None  # FeatureStats
 
+    @functools.cached_property
+    def content_infer(self) -> ContentEncoder:
+        """Inference-mode content encoder: spectral norms folded into the
+        kernels (sn_folded=True). Bit-identical outputs, but the 18 serial
+        power-iteration matvec chains leave the per-call device program."""
+        return ContentEncoder(self.cfg.model, sn_folded=True)
+
+    @functools.cached_property
+    def content_vars_infer(self) -> Dict:
+        from ast_tpu.models.blocks import fold_spectral_norms
+
+        return jax.jit(fold_spectral_norms)(self.content_vars)
+
     @classmethod
     def from_variables(cls, cfg: Config, content_vars, decoder_vars,
                        class_embeddings, codec: str = "linear", stats=None):
@@ -232,7 +246,13 @@ class StyleTransferPipeline:
 
                 batched = jax.lax.with_sharding_constraint(
                     batched, NamedSharding(mesh, P(None, "data")))
-            content_emb = self.content.apply(content_vars, batched)
+            b0 = None
+            if fused_block0_active(cfg.model, mesh):
+                from ast_tpu.ops.pallas_block0 import content_block0
+
+                b0 = content_block0(content_vars, batched)
+            content_emb = self.content_infer.apply(content_vars, batched,
+                                                   block0_out=b0)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -280,7 +300,7 @@ class StyleTransferPipeline:
         wav = jnp.asarray(np.asarray(waveform, np.float32))
         out = self._jitted_sp_core(mesh)(
             wav, self.class_embeddings, jnp.asarray(target_class_id),
-            self.content_vars, self.decoder_vars,
+            self.content_vars_infer, self.decoder_vars,
             n_samples=int(wav.shape[-1]), overlap=int(
                 self.cfg.audio.eval_overlap_frames if overlap is None
                 else overlap))
@@ -288,6 +308,16 @@ class StyleTransferPipeline:
 
     @functools.cached_property
     def _jitted_batch_core(self):
+        """Single-device batched transfer core (fused block0 eligible)."""
+        return self._build_batch_core(allow_fused_block0=True)
+
+    @functools.cached_property
+    def _jitted_batch_core_sharded(self):
+        """Batched core for GSPMD-sharded inputs: identical math, but the
+        pallas block0 stays off (GSPMD cannot partition a custom kernel)."""
+        return self._build_batch_core(allow_fused_block0=False)
+
+    def _build_batch_core(self, allow_fused_block0: bool):
         """Batched transfer: (B, n) waveforms + (B,) target ids in ONE device
         program — amortizes host<->device round trips for serving.
 
@@ -323,7 +353,13 @@ class StyleTransferPipeline:
 
             feats, sections = jax.vmap(featurize)(waveforms)  # (B,2,T,F), (B,S,...)
             S = sections.shape[1]
-            content_emb = self.content.apply(content_vars, sections)  # (B,S,d)
+            b0 = None
+            if allow_fused_block0 and fused_block0_active(cfg.model):
+                from ast_tpu.ops.pallas_block0 import content_block0
+
+                b0 = content_block0(content_vars, sections)
+            content_emb = self.content_infer.apply(content_vars, sections,
+                                                   block0_out=b0)  # (B,S,d)
             class_emb = class_embeddings[target_ids]  # (B, d)
             out = autoregressive_decode(self.decoder, decoder_vars,
                                         content_emb, class_emb, S)
@@ -360,7 +396,7 @@ class StyleTransferPipeline:
         wavs = jnp.asarray(arr)
         out = self._jitted_batch_core(
             wavs, self.class_embeddings, jnp.asarray(target_class_ids),
-            self.content_vars, self.decoder_vars,
+            self.content_vars_infer, self.decoder_vars,
             n_samples=int(wavs.shape[-1]), overlap=int(overlap),
             out_wire=wire)
         return _wire_decode_np(np.asarray(out))
@@ -402,14 +438,14 @@ class StyleTransferPipeline:
         wavs = jax.device_put(jnp.asarray(arr), bsh)
         tids = jax.device_put(jnp.asarray(ids), bsh)
         content_vars = jax.tree.map(lambda l: jax.device_put(l, rep),
-                                    self.content_vars)
+                                    self.content_vars_infer)
         decoder_vars = (shard_variables(self.decoder_vars, mesh)
                         if tensor_parallel else
                         jax.tree.map(lambda l: jax.device_put(l, rep),
                                      self.decoder_vars))
         class_emb = jax.device_put(self.class_embeddings, rep)
 
-        out = self._jitted_batch_core(
+        out = self._jitted_batch_core_sharded(
             wavs, class_emb, tids, content_vars, decoder_vars,
             n_samples=int(wavs.shape[-1]), overlap=int(overlap),
             out_wire=wire)
@@ -447,7 +483,7 @@ class StyleTransferPipeline:
             arr = _wire_encode_np(arr, wire_fmt)
             out = self._jitted_batch_core(
                 jnp.asarray(arr), self.class_embeddings, jnp.asarray(t),
-                self.content_vars, self.decoder_vars,
+                self.content_vars_infer, self.decoder_vars,
                 n_samples=int(arr.shape[-1]), overlap=int(overlap),
                 out_wire=wire_fmt)
             return out, hi - lo
@@ -482,7 +518,7 @@ class StyleTransferPipeline:
         wav = jnp.asarray(arr)
         out = self._jitted_core(
             wav, self.class_embeddings, jnp.asarray(target_class_id),
-            self.content_vars, self.decoder_vars,
+            self.content_vars_infer, self.decoder_vars,
             n_samples=int(wav.shape[0]), overlap=int(overlap),
             out_wire=wire or "f32")
         return _wire_decode_np(np.asarray(out))

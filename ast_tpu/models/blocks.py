@@ -82,6 +82,13 @@ class SNConv(nn.Module):
     padding: tuple = ((1, 1), (1, 1))
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # sn_folded=True: the caller pre-divided every kernel by its sigma (see
+    # fold_spectral_norms) — skip the power-iteration readout entirely. At
+    # inference sigma depends only on the params, yet the readout is a chain
+    # of serial small matvecs per conv (18 chains per content forward) that
+    # XLA cannot parallelize away; folding them out of the per-call program
+    # is numerically identical.
+    sn_folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_stats: bool = False) -> jnp.ndarray:
@@ -101,22 +108,25 @@ class SNConv(nn.Module):
 
         # torch reshapes the NCHW weight to (out, in*kh*kw); our NHWC kernel
         # flattens to (kh*kw*in, out) — same matrix transposed, same sigma.
-        w_mat = kernel.reshape(-1, self.features)
         u_var = self.variable(
             "spectral", "u",
             lambda: jax.random.normal(self.make_rng("params") if self.has_rng("params")
                                       else jax.random.PRNGKey(0), (self.features,)),
         )
-        u = u_var.value
-        u = u / (jnp.linalg.norm(u) + 1e-12)
-        v = w_mat @ u
-        v = v / (jnp.linalg.norm(v) + 1e-12)
-        u_new = w_mat.T @ v
-        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        sigma = v @ w_mat @ u_new
-        if update_stats and not self.is_initializing():
-            u_var.value = jax.lax.stop_gradient(u_new)
-        kernel_sn = kernel / jax.lax.stop_gradient(sigma)
+        if self.sn_folded:
+            kernel_sn = kernel  # kernel is already kernel/sigma
+        else:
+            w_mat = kernel.reshape(-1, self.features)
+            u = u_var.value
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+            v = w_mat @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u_new = w_mat.T @ v
+            u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+            sigma = v @ w_mat @ u_new
+            if update_stats and not self.is_initializing():
+                u_var.value = jax.lax.stop_gradient(u_new)
+            kernel_sn = kernel / jax.lax.stop_gradient(sigma)
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -130,6 +140,52 @@ class SNConv(nn.Module):
         return y
 
 
+def _sigma_readout(kernel: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """EXACTLY the inference-time sigma estimate SNConv.__call__ computes
+    (update_stats=False): one power-iteration readout from the stored u."""
+    w_mat = kernel.reshape(-1, kernel.shape[-1])
+    u = u / (jnp.linalg.norm(u) + 1e-12)
+    v = w_mat @ u
+    v = v / (jnp.linalg.norm(v) + 1e-12)
+    u_new = w_mat.T @ v
+    u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+    return v @ w_mat @ u_new
+
+
+def fold_spectral_norms(variables):
+    """Pre-divide every SNConv kernel by its sigma so inference can run with
+    sn_folded=True modules (no per-forward power-iteration chains).
+
+    Walks the 'params' tree in parallel with the 'spectral' collection: any
+    scope holding a spectral 'u' next to a params 'kernel' is an SNConv, and
+    its kernel is replaced by kernel / sigma — the exact value the unfolded
+    module would use, so outputs are bit-identical. NOTE: only valid for
+    trees whose spectral-normed modules are SNConv (the content/style CNNs);
+    SNConvTranspose (conv codec) uses a different w_mat convention and must
+    not be folded with this function."""
+    spectral = variables.get("spectral")
+    if not spectral:
+        return variables
+
+    def walk(params, spec):
+        out = dict(params)
+        for key, sub in spec.items():
+            if key not in params:
+                continue
+            if "u" in sub and hasattr(sub["u"], "shape") and "kernel" in params[key]:
+                leaf = dict(params[key])
+                leaf["kernel"] = leaf["kernel"] / jax.lax.stop_gradient(
+                    _sigma_readout(leaf["kernel"], sub["u"]))
+                out[key] = leaf
+            else:
+                out[key] = walk(params[key], sub)
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = walk(dict(variables["params"]), dict(spectral))
+    return new_vars
+
+
 class ResBlock(nn.Module):
     """Residual block: [SNConv3x3 -> BN -> ReLU -> SNConv3x3 -> BN] + shortcut
     (SNConv1x1 + InstanceNorm(affine) when down/channel-changing), final ReLU
@@ -138,6 +194,7 @@ class ResBlock(nn.Module):
     features: int
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    sn_folded: bool = False  # see SNConv.sn_folded
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -145,18 +202,21 @@ class ResBlock(nn.Module):
         in_feat = x.shape[-1]
 
         out = SNConv(self.features, (3, 3), stride, ((1, 1), (1, 1)), dtype=self.dtype,
+                     sn_folded=self.sn_folded,
                      name="conv1")(x, update_stats=train)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                            dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = SNConv(self.features, (3, 3), (1, 1), ((1, 1), (1, 1)), dtype=self.dtype,
+                     sn_folded=self.sn_folded,
                      name="conv2")(out, update_stats=train)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                            dtype=self.dtype, name="bn2")(out)
 
         if self.downsample or in_feat != self.features:
             identity = SNConv(self.features, (1, 1), stride, ((0, 0), (0, 0)),
-                              dtype=self.dtype, name="shortcut_conv")(x, update_stats=train)
+                              dtype=self.dtype, sn_folded=self.sn_folded,
+                              name="shortcut_conv")(x, update_stats=train)
             identity = nn.InstanceNorm(epsilon=1e-5, dtype=self.dtype,
                                        name="shortcut_norm")(identity)
         else:
@@ -175,15 +235,24 @@ class DeepCNN(nn.Module):
     out_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    sn_folded: bool = False  # see SNConv.sn_folded
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 block0_out: jnp.ndarray | None = None) -> jnp.ndarray:
         # x: (N, H, W, C=2)
+        # block0_out: precomputed output of block0 (the fused Pallas kernel,
+        # ops/pallas_block0.py) — when given, block0's flax module is
+        # skipped (its params stay in the tree, unused this call)
         # static_argnums counts self: (self=0, x=1, train=2)
         block_cls = (nn.remat(ResBlock, static_argnums=(2,))
                      if self.remat else ResBlock)
         for i, ch in enumerate(self.channels):
-            x = block_cls(ch, downsample=True, dtype=self.dtype, name=f"block{i}")(x, train)
+            if i == 0 and block0_out is not None:
+                x = block0_out
+                continue
+            x = block_cls(ch, downsample=True, dtype=self.dtype,
+                          sn_folded=self.sn_folded, name=f"block{i}")(x, train)
         x = adaptive_avg_pool2d(x, (2, 5))
         x = adaptive_avg_pool2d(x, (1, 1))
         x = x.reshape(x.shape[0], -1)  # (N, channels[-1])

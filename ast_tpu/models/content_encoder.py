@@ -20,15 +20,31 @@ from ast_tpu.models.blocks import DeepCNN, SinusoidalPositionalEncoding
 
 class ContentEncoder(nn.Module):
     cfg: ModelConfig
+    # sn_folded=True: apply with fold_spectral_norms(variables) — skips the
+    # per-forward power-iteration chains (inference fast path, bit-identical)
+    sn_folded: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """x: (B, S, 2, T, F) -> content sequence (B, S, d_model)."""
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 channels_last: bool = False,
+                 block0_out: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (B, S, 2, T, F) -> content sequence (B, S, d_model).
+
+        channels_last=True accepts (B, S, T, F, 2) instead (already NHWC per
+        window): identical values, but skips the (2,T,F)->(T,F,2) transpose —
+        a materialized-layout change XLA executes badly on TPU (8.2 ms at
+        B*S=128 standalone). The fused inference cores build features
+        channels-last at the DFT producers and use this path."""
         cfg = self.cfg
-        B, S, C, T, F = x.shape
-        xw = x.reshape(B * S, C, T, F).transpose(0, 2, 3, 1)  # NHWC
+        if channels_last:
+            B, S, T, F, C = x.shape
+            xw = x.reshape(B * S, T, F, C)
+        else:
+            B, S, C, T, F = x.shape
+            xw = x.reshape(B * S, C, T, F).transpose(0, 2, 3, 1)  # NHWC
         feats = DeepCNN(cfg.cnn_channels, cfg.cnn_out_dim, dtype=cfg.jnp_dtype,
-                        remat=cfg.remat_cnn, name="cnn")(xw, train=train)
+                        remat=cfg.remat_cnn, sn_folded=self.sn_folded,
+                        name="cnn")(xw, train=train, block0_out=block0_out)
         seq = feats.reshape(B, S, cfg.cnn_out_dim)
 
         if cfg.cnn_out_dim != cfg.d_model:

@@ -156,7 +156,7 @@ def main():
         clip_dev = jnp.asarray(clips_np[0])
         core = pipe._jitted_core
         t = jnp.asarray(1)
-        one = lambda x: core(x, pipe.class_embeddings, t, pipe.content_vars,
+        one = lambda x: core(x, pipe.class_embeddings, t, pipe.content_vars_infer,
                              pipe.decoder_vars,
                              n_samples=cfg.audio.clip_samples,
                              overlap=cfg.audio.eval_overlap_frames)
@@ -176,7 +176,7 @@ def main():
     tids_dev = jnp.asarray(targets)
     bcore = pipe._jitted_batch_core
     bone = lambda: bcore(pcm_dev, pipe.class_embeddings, tids_dev,
-                         pipe.content_vars, pipe.decoder_vars,
+                         pipe.content_vars_infer, pipe.decoder_vars,
                          n_samples=cfg.audio.clip_samples,
                          overlap=cfg.audio.eval_overlap_frames, out_wire="pcm16")
     np.asarray(bone()[0, 0])  # force (see single-clip note)

@@ -42,7 +42,7 @@ def main():
         tids = jnp.asarray(targets)
         bcore = pipe._jitted_batch_core
         bfn = lambda: bcore(wavs_dev, pipe.class_embeddings, tids,
-                            pipe.content_vars, pipe.decoder_vars,
+                            pipe.content_vars_infer, pipe.decoder_vars,
                             n_samples=cfg.audio.clip_samples,
                             overlap=cfg.audio.eval_overlap_frames,
                             out_wire="pcm16")

@@ -59,7 +59,7 @@ def main():
         tids = np.ones(B, np.int32)
         core = pipe._jitted_batch_core
         fn = lambda: core(wavs, pipe.class_embeddings, jnp.asarray(tids),
-                          pipe.content_vars, pipe.decoder_vars,
+                          pipe.content_vars_infer, pipe.decoder_vars,
                           n_samples=a.clip_samples,
                           overlap=a.eval_overlap_frames, out_wire="f32")
         ms = timeit(fn)

@@ -88,7 +88,7 @@ def main():
 
     core = pipe._jitted_core
     one = lambda x: core(x, pipe.class_embeddings, jnp.asarray(1),
-                         pipe.content_vars, pipe.decoder_vars,
+                         pipe.content_vars_infer, pipe.decoder_vars,
                          n_samples=a.clip_samples, overlap=overlap)
     print(f"fused single-clip core:       {timeit(one, wav):8.3f} ms")
 
@@ -125,8 +125,8 @@ def main():
         (B, a.clip_samples))).astype(np.float32))
     tids = jnp.ones(B, jnp.int32)
     bcore = pipe._jitted_batch_core
-    bfn = lambda x: bcore(x, pipe.class_embeddings, tids, pipe.content_vars,
-                          pipe.decoder_vars, n_samples=a.clip_samples,
+    bfn = lambda x: bcore(x, pipe.class_embeddings, tids,
+                          pipe.content_vars_infer, pipe.decoder_vars, n_samples=a.clip_samples,
                           overlap=overlap, out_wire="f32")
     ms = timeit(bfn, wavs, iters=8)
     print(f"fused batch core (B={B}):      {ms:8.3f} ms  "

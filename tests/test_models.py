@@ -253,3 +253,36 @@ def test_kv_cache_decode_conv_codec():
     assert out1.shape == (B, S, 2, cfg.window_size, cfg.stft_bins)
     assert np.isfinite(out1).all()
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_content_encoder_channels_last_equivalent(tiny_batch):
+    """channels_last input (B,S,T,F,2) must produce identical output to the
+    packed (B,S,2,T,F) path — the fused cores feed NHWC directly."""
+    from ast_tpu.models.content_encoder import ContentEncoder
+
+    x, _labels = tiny_batch
+    enc = ContentEncoder(TINY)
+    var = enc.init(jax.random.PRNGKey(0), x)
+    a = enc.apply(var, x)
+    b = enc.apply(var, jnp.transpose(x, (0, 1, 3, 4, 2)), channels_last=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_spectral_fold_identical(tiny_batch):
+    """fold_spectral_norms + sn_folded=True must reproduce the unfolded
+    forward exactly (sigma is input-independent at inference; the fold just
+    moves the division out of the per-call program)."""
+    from ast_tpu.models.blocks import fold_spectral_norms
+    from ast_tpu.models.content_encoder import ContentEncoder
+
+    x, _labels = tiny_batch
+    enc = ContentEncoder(TINY)
+    var = enc.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(enc.apply(var, x))
+    folded = fold_spectral_norms(var)
+    b = np.asarray(ContentEncoder(TINY, sn_folded=True).apply(folded, x))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # the fold actually rescaled kernels (sigma != 1 for he_normal init)
+    k0 = np.asarray(var["params"]["cnn"]["block0"]["conv1"]["kernel"])
+    k1 = np.asarray(folded["params"]["cnn"]["block0"]["conv1"]["kernel"])
+    assert not np.allclose(k0, k1)

@@ -128,3 +128,31 @@ def test_resolve_dft_method_auto():
     a = S.stft(x, method="fft")
     b = S.stft(x, method="auto")
     assert float(jnp.abs(a - b).max() / jnp.abs(a).max()) < 5e-4
+
+
+def test_channels_last_layout_matches_packed():
+    """layout="cl" is exactly the (1,2,0) transpose of the packed (2,T,F)
+    output, for both stft_ri and cqt_ri, and normalize_cl matches normalize
+    through the same transpose."""
+    import numpy as np
+
+    from ast_tpu.dsp.cqt import cqt_ri
+    from ast_tpu.dsp.norm import normalize, normalize_cl
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray((0.1 * rng.standard_normal(22050)).astype(np.float32))
+    cf = np.asarray(S.stft_ri(x))
+    cl = np.asarray(S.stft_ri(x, layout="cl"))
+    np.testing.assert_array_equal(cl, cf.transpose(1, 2, 0))
+
+    ccf = np.asarray(cqt_ri(x, algorithm="recursive"))
+    ccl = np.asarray(cqt_ri(x, algorithm="recursive", layout="cl"))
+    np.testing.assert_array_equal(ccl, ccf.transpose(1, 2, 0))
+
+    mean = rng.standard_normal((2, cf.shape[2])).astype(np.float32)
+    std = np.abs(rng.standard_normal((2, cf.shape[2]))).astype(np.float32)
+    ncf = np.asarray(normalize(jnp.asarray(cf), jnp.asarray(mean),
+                               jnp.asarray(std)))
+    ncl = np.asarray(normalize_cl(jnp.asarray(cl), jnp.asarray(mean),
+                                  jnp.asarray(std)))
+    np.testing.assert_allclose(ncl, ncf.transpose(1, 2, 0), atol=1e-6)

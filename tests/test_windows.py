@@ -87,3 +87,13 @@ def test_concat_stft_cqt(rng):
     import pytest
     with pytest.raises(ValueError):
         W.concat_stft_cqt(s, c[:, :5])
+
+
+def test_overlap_windows_cl_matches_cf(rng):
+    """Channels-last windowing is the transpose of the packed-layout one
+    (the fused cores rely on this equivalence to skip the NHWC transpose)."""
+    spec = rng.standard_normal((2, 862, 9)).astype(np.float32)
+    cf = np.asarray(W.get_overlap_windows(jnp.asarray(spec), 287, 96))
+    cl = np.asarray(W.get_overlap_windows_cl(
+        jnp.asarray(spec.transpose(1, 2, 0)), 287, 96))
+    np.testing.assert_array_equal(cl, cf.transpose(0, 2, 3, 1))
