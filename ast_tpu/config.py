@@ -129,6 +129,15 @@ class ModelConfig:
     ar_feedback: str = "raw"
     # Compute dtype for the forward pass; params stay float32.
     dtype: str = "float32"
+    # Fused Pallas kernel for the CNN's first ResBlock at inference:
+    # "auto" = on for single-device TPU inference cores (C_in=2 block only),
+    # "off" = always the XLA conv path. The C_in=2 input block is HBM-bound
+    # in XLA (~8 ms of the 27 ms batch core at B=32: five materialized
+    # (B*S,144,299,32) intermediates); the kernel fuses
+    # conv1+BN1+ReLU+conv2+BN2+InstanceNorm-shortcut+add+ReLU into one pass
+    # with two MXU GEMMs per tile (ops/pallas_block0.py). Same numerics
+    # class as XLA's convs (bf16 multiplies, f32 accumulation).
+    fused_block0: str = "auto"
     # Rematerialize ResBlock activations in the backward pass (trades FLOPs
     # for HBM; the CNN stack over B*S windows dominates training memory).
     remat_cnn: bool = False

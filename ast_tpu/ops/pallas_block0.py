@@ -1,0 +1,332 @@
+"""Fused inference kernel for the CNN's first ResBlock (C_in=2).
+
+The reference's DeepCNN opens with a ResBlock over (B*S, 287, 597, 2)
+windows (reference: style_encoder.py:41-84,95-132). In XLA this block is
+HBM-bound: conv1's (N,144,299,32) output plus the conv2 / shortcut /
+InstanceNorm / add stages materialize ~5 full-size intermediates (~8 ms of
+the 27 ms B=32 batch core). This module fuses the whole block into ONE
+Pallas pass: intermediates live in VMEM, HBM sees one im2col read and one
+output write.
+
+Design notes (TPU):
+  * "CM" layout — channels on sublanes, flattened spatial (h*W1+w) on
+    lanes — so no operand pads its minor dim to 128 (NHWC tiles with C=32
+    would waste 4x VMEM; C=2 would waste 64x).
+  * conv1 (3x3 stride 2) is one GEMM against an XLA-built im2col tensor
+    P1T (N, 32, M1): rows 0..17 = (dh, dw, ci) taps, rows 18..31 zero-pad
+    to the f32 sublane tile. The 1x1 stride-2 SHORTCUT is folded into the
+    same GEMM as 32 extra output columns (its taps are rows 8..9 = the
+    center pixel), so it costs nothing extra on the MXU.
+  * conv2 (3x3 stride 1) uses the w-stacked formulation: one GEMM with the
+    three dw tap-columns stacked on the output dim, then three lane-shifted
+    adds — M-dim shifts of +-1 (w) and +-W1 (h) are just lane offsets in
+    the flat layout. 3x fewer MXU passes than K=288 im2col at N=32.
+  * Inference BatchNorm is an affine map -> folded into the conv weights.
+    InstanceNorm stats of the shortcut are LINEAR in the input: mean/var of
+    (W x + b) over space come from the (2,) mean and centered (2,2) second
+    moment of the stride-2-sampled input — a tiny XLA reduction per sample,
+    folded into per-sample shortcut weights. No stats pass inside the
+    kernel.
+  * Matmuls run in bf16 with f32 accumulation — the same arithmetic class
+    as XLA's own TPU convs at DEFAULT precision, so the fused path is
+    numerics-equivalent to the unfused one, not a quality trade.
+
+Halo handling: the grid tiles the 144 output rows; each tile reads its own
+P1T block plus its neighbours (three BlockSpec views of the same array,
+index-clamped at the edges and masked to zero in-kernel), giving conv2 its
++-1-row halo without overlapping block specs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS_BN = 1e-5
+_EPS_IN = 1e-5
+
+
+class FoldedBlock0(NamedTuple):
+    """Input-independent folded weights (build once per param set).
+
+    Kernels must already be spectral-norm folded (kernel/sigma — the
+    pipeline's content_vars_infer); BatchNorm running stats are folded here.
+    """
+
+    w1: jnp.ndarray      # (18, C) conv1 taps * bn1 scale
+    b1: jnp.ndarray      # (C,)
+    v96: jnp.ndarray     # (3C, 3C) w-stacked conv2 * bn2 scale
+    b2: jnp.ndarray      # (C,)
+    wsc: jnp.ndarray     # (2, C) shortcut 1x1
+    bsc: jnp.ndarray     # (C,)
+    in_scale: jnp.ndarray  # (C,) InstanceNorm affine
+    in_bias: jnp.ndarray   # (C,)
+
+
+def fold_block0(params: dict, batch_stats: dict) -> FoldedBlock0:
+    """Fold block0's BN running stats into its (sigma-prefolded) kernels.
+
+    params/batch_stats: the 'block0' subtrees of a DeepCNN whose SNConv
+    kernels are already divided by sigma (models.blocks.fold_spectral_norms).
+    """
+    k1 = params["conv1"]["kernel"]          # (3,3,2,C)
+    b1 = params["conv1"]["bias"]
+    k2 = params["conv2"]["kernel"]          # (3,3,C,C)
+    b2 = params["conv2"]["bias"]
+    ksc = params["shortcut_conv"]["kernel"]  # (1,1,2,C)
+    bsc = params["shortcut_conv"]["bias"]
+
+    s1 = params["bn1"]["scale"] * jax.lax.rsqrt(
+        batch_stats["bn1"]["var"] + _EPS_BN)
+    b1f = (b1 - batch_stats["bn1"]["mean"]) * s1 + params["bn1"]["bias"]
+    k1f = k1 * s1  # broadcast over the out-channel (last) axis
+
+    s2 = params["bn2"]["scale"] * jax.lax.rsqrt(
+        batch_stats["bn2"]["var"] + _EPS_BN)
+    b2f = (b2 - batch_stats["bn2"]["mean"]) * s2 + params["bn2"]["bias"]
+    k2f = k2 * s2
+
+    c = k1.shape[-1]
+    # V[dw*C + co, dh*C + ci] = k2f[dh, dw, ci, co]
+    v96 = jnp.transpose(k2f, (1, 3, 0, 2)).reshape(3 * c, 3 * c)
+    return FoldedBlock0(
+        w1=k1f.reshape(18, c), b1=b1f, v96=v96, b2=b2f,
+        wsc=ksc.reshape(2, c), bsc=bsc,
+        in_scale=params["shortcut_norm"]["scale"],
+        in_bias=params["shortcut_norm"]["bias"],
+    )
+
+
+def _choose_tile(h1: int, w1: int) -> int:
+    """Output rows per grid tile: must divide H1 and give the conv2 halo
+    (W1+1 lanes) room inside one neighbouring block (TH*W1 >= W1+1)."""
+    for th in (8, 6, 4, 12, 16, 3, 2, 9, 1):
+        if h1 % th == 0 and th * w1 >= w1 + 1:
+            return th
+    return h1
+
+
+def _im2col_p1t(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2, H, W) -> (N, 32, M1) bf16 im2col for the stride-2 3x3 conv.
+
+    Row (dh*3+dw)*2 + ci holds x[2h+dh-1, 2w+dw-1, ci] flattened over the
+    (h, w) output grid; rows 18..31 are zero (f32/bf16 sublane-tile pad,
+    free on the MXU where K pads to 128 regardless)."""
+    n, cin, h, w = x.shape
+    h1, w1 = (h + 1) // 2, (w + 1) // 2
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 2), (1, 2)))
+    slabs = [xp[:, :, dh: dh + 2 * h1 - 1: 2, dw: dw + 2 * w1 - 1: 2]
+             for dh in range(3) for dw in range(3)]        # 9 x (N,2,H1,W1)
+    p1 = jnp.stack(slabs, axis=1).reshape(n, 18, h1 * w1)
+    p1 = jnp.pad(p1, ((0, 0), (0, 14), (0, 0)))
+    return p1.astype(jnp.bfloat16)
+
+
+def _instance_folded_shortcut(x: jnp.ndarray, fb: FoldedBlock0):
+    """Per-sample shortcut weights with the InstanceNorm folded in.
+
+    y = W x(center-strided) + b; IN(y) = (y - mean)/sqrt(var+eps)*g + be.
+    mean/var over space are linear/quadratic in the input's stride-2 sample
+    moments, so the whole normalized shortcut is an affine map with
+    per-sample weights."""
+    n = x.shape[0]
+    xs = x[:, :, ::2, ::2]                                  # (N, 2, H1, W1)
+    m = xs.mean(axis=(2, 3))                                # (N, 2)
+    xc = xs - m[:, :, None, None]
+    hw = xs.shape[2] * xs.shape[3]
+    m2c = jnp.einsum("ncij,ndij->ncd", xc, xc) / hw         # (N, 2, 2)
+    mean_y = m @ fb.wsc + fb.bsc                            # (N, C)
+    var_y = jnp.einsum("nij,ic,jc->nc", m2c, fb.wsc, fb.wsc)
+    isc = fb.in_scale * jax.lax.rsqrt(var_y + _EPS_IN)      # (N, C)
+    ish = fb.in_bias - mean_y * isc
+    wsc_n = fb.wsc[None, :, :] * isc[:, None, :]            # (N, 2, C)
+    bsc_n = fb.bsc[None, :] * isc + ish                     # (N, C)
+    return wsc_n, bsc_n
+
+
+def _build_w1n_b64(fb: FoldedBlock0, wsc_n, bsc_n):
+    """Per-sample (32, 2C) combined conv1+shortcut GEMM weights + bias."""
+    n, _, c = wsc_n.shape
+    w1n = jnp.zeros((n, 32, 2 * c), jnp.float32)
+    w1n = w1n.at[:, :18, :c].set(fb.w1[None])
+    # shortcut taps: center pixel (dh=1, dw=1) -> rows (1*3+1)*2 + ci = 8, 9
+    w1n = w1n.at[:, 8:10, c:].set(wsc_n)
+    b64 = jnp.concatenate([jnp.broadcast_to(fb.b1, (n, c)), bsc_n], axis=1)
+    return w1n.astype(jnp.bfloat16), b64
+
+
+def fused_block0_active(mcfg, mesh=None) -> bool:
+    """Trace-time gate for the fused path: honours ModelConfig.fused_block0
+    ("auto" = TPU only, "on" = force incl. CPU-interpret, "off"), requires
+    the C_in=2 block shape, and stays off under an explicit device mesh
+    (GSPMD cannot partition a pallas_call; sharded serving keeps XLA convs).
+    """
+    if mcfg.fused_block0 == "off" or mcfg.in_channels != 2:
+        return False
+    if mesh is not None:
+        return False
+    if mcfg.fused_block0 == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def content_block0(content_vars: dict, sections: jnp.ndarray) -> jnp.ndarray:
+    """Run the fused block0 over content-encoder input windows.
+
+    sections: (B, S, 2, T, F) packed windows (the natural featurize layout —
+    NCHW per window, so no transpose is needed here). content_vars MUST be
+    the sigma-prefolded tree (pipeline.content_vars_infer). Returns the
+    (B*S, H1, W1, C) block0 output for ContentEncoder's block0_out hook."""
+    b, s, cin, t, f = sections.shape
+    x = sections.reshape(b * s, cin, t, f)
+    fb = fold_block0(content_vars["params"]["cnn"]["block0"],
+                     content_vars["batch_stats"]["cnn"]["block0"])
+    return block0_fused(x, fb)
+
+
+def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """Fused block0 forward: (N, 2, H, W) NCHW in -> (N, H1, W1, C) NHWC out.
+
+    Equivalent to ResBlock(C, downsample=True) at inference (train=False)
+    with the given folded weights; see module docstring for the math."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, cin, h, w = x.shape
+    assert cin == 2, "fused block0 supports the C_in=2 input block only"
+    c = fb.w1.shape[-1]
+    h1, w1 = (h + 1) // 2, (w + 1) // 2
+    m1 = h1 * w1
+    th = _choose_tile(h1, w1)
+    nt = h1 // th
+    mt = th * w1
+    halo = w1 + 1
+
+    p1t = _im2col_p1t(x)                                    # (N, 32, M1)
+    # halo slivers as separate small arrays (zero-padded at the sequence
+    # edges) instead of three full-block views of p1t — the kernel then
+    # reads each p1t byte once plus ~2*halo/Mt extra, not 3x everything
+    pad_l = jnp.pad(p1t, ((0, 0), (0, 0), (halo, 0)))
+    lefts = jnp.stack([pad_l[:, :, t * mt: t * mt + halo]
+                       for t in range(nt)], axis=1)         # (N,nt,32,halo)
+    pad_r = jnp.pad(p1t, ((0, 0), (0, 0), (0, halo)))
+    rights = jnp.stack([pad_r[:, :, (t + 1) * mt: (t + 1) * mt + halo]
+                        for t in range(nt)], axis=1)
+    wsc_n, bsc_n = _instance_folded_shortcut(x, fb)
+    w1n, b64 = _build_w1n_b64(fb, wsc_n, bsc_n)             # (N,32,2C),(N,2C)
+    v = fb.v96.astype(jnp.bfloat16)                         # (3C, 3C)
+    # biases shaped as column vectors so the kernel broadcasts over lanes
+    # without any in-kernel (1, K) -> (K, 1) relayout
+    b64 = b64[:, :, None]                                   # (N, 2C, 1)
+    b2 = fb.b2.reshape(c, 1)
+
+    def kernel(l_ref, cur_ref, r_ref, w1_ref, b64_ref, v_ref, b2_ref,
+               out_ref):
+        t = pl.program_id(1)
+        # assemble the conv1 evaluation span: Mt + 2*halo flat columns
+        a = jnp.concatenate([l_ref[0, 0], cur_ref[0], r_ref[0, 0]],
+                            axis=1)                          # (32, Mc)
+        mc = mt + 2 * halo
+
+        # conv1 + shortcut: ONE GEMM (bf16 in, f32 accum)
+        o1 = jax.lax.dot_general(
+            w1_ref[0], a, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (2C, Mc)
+        o1 = o1 + b64_ref[0]                                # (2C, 1) bcast
+
+        # T1 halo columns outside [0, M1) are conv2 zero-padding, not
+        # conv1-of-garbage: mask them (the clamped edge blocks repeat real
+        # data there, and bias+relu would otherwise leak relu(b1)).
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, mc), 1)
+        valid = jnp.logical_and(
+            jnp.logical_or(t > 0, col >= halo),
+            jnp.logical_or(t < nt - 1, col < halo + mt))
+        t1 = jnp.where(valid, jax.nn.relu(o1[:c]), 0.0)     # (C, Mc)
+        sc = o1[c:, halo: halo + mt]                        # (C, Mt)
+
+        # conv2 w-stacked GEMM: rows dh*C+ci of P2 are T1 shifted (dh-1)*W1
+        p2 = jnp.concatenate(
+            [t1[:, 0: mt + 2],
+             t1[:, w1: w1 + mt + 2],
+             t1[:, 2 * w1: 2 * w1 + mt + 2]], axis=0).astype(jnp.bfloat16)
+        tt = jax.lax.dot_general(
+            v_ref[...], p2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (3C, Mt+2)
+
+        # out(m) = T[dw=0](m-1) + T[dw=1](m) + T[dw=2](m+1), with the w-edge
+        # terms masked (tile starts are w-aligned: m0 % W1 == 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, mt), 1)
+        mask0 = (j % w1) != 0
+        mask2 = (j % w1) != (w1 - 1)
+        o2 = (jnp.where(mask0, tt[:c, 0:mt], 0.0)
+              + tt[c:2 * c, 1: mt + 1]
+              + jnp.where(mask2, tt[2 * c:, 2: mt + 2], 0.0))
+        out = jax.nn.relu(o2 + b2_ref[...] + sc)            # (C, Mt)
+        out_ref[0] = out.T                                   # (Mt, C) NHWC
+
+    grid = (n, nt)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 32, halo), lambda ni, ti: (ni, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32, mt), lambda ni, ti: (ni, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 32, halo), lambda ni, ti: (ni, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32, 2 * c), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c, 1), lambda ni, ti: (ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda ni, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, mt, c), lambda ni, ti: (ni, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, m1, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m1 * (32 * 2 * c + 3 * c * 3 * c),
+            bytes_accessed=int(p1t.size * 2 + n * m1 * c * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(lefts, p1t, rights, w1n, b64, v, b2)
+    return out.reshape(n, h1, w1, c)
+
+
+def block0_reference(x: jnp.ndarray, fb: FoldedBlock0) -> jnp.ndarray:
+    """Same math in plain XLA (fp32) — the oracle for kernel tests.
+
+    Mirrors ResBlock inference exactly given folded weights: conv1+bn1+relu,
+    conv2+bn2, instance-normed 1x1 shortcut, add, relu."""
+    n, cin, h, w = x.shape
+    c = fb.w1.shape[-1]
+    xh = jnp.transpose(x, (0, 2, 3, 1))                     # NHWC
+    k1 = fb.w1.reshape(3, 3, 2, c)
+    y1 = jax.lax.conv_general_dilated(
+        xh, k1, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + fb.b1
+    y1 = jax.nn.relu(y1)
+    # rebuild conv2's kernel from the w-stacked matrix
+    k2 = fb.v96.reshape(3, c, 3, c).transpose(2, 0, 3, 1)   # (dh,dw,ci,co)
+    y2 = jax.lax.conv_general_dilated(
+        y1, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + fb.b2
+    ysc = jnp.einsum("nmi,ic->nmc",
+                     xh[:, ::2, ::2, :].reshape(n, -1, 2), fb.wsc) + fb.bsc
+    h1, w1 = (h + 1) // 2, (w + 1) // 2
+    ysc = ysc.reshape(n, h1, w1, c)
+    mean = ysc.mean(axis=(1, 2), keepdims=True)
+    var = ((ysc - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+    ysc = (ysc - mean) * jax.lax.rsqrt(var + _EPS_IN)
+    ysc = ysc * fb.in_scale + fb.in_bias
+    return jax.nn.relu(y2 + ysc)

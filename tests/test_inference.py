@@ -221,3 +221,20 @@ def test_transfer_stream_matches_batch(audio_clip):
                                     pcm16_wire=True))
     assert len(got) == B
     np.testing.assert_allclose(np.stack(got), expected, atol=1e-4)
+
+
+def test_fused_block0_pipeline_matches(audio_clip):
+    """fused_block0="on" (Pallas kernel, interpret mode on CPU) must match
+    the XLA conv path through the whole pipeline to bf16-conv accuracy."""
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    off = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY_MODEL, fused_block0="off"))
+    on = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY_MODEL, fused_block0="on"))
+    p_off = StyleTransferPipeline.init_random(off, seed=0)
+    p_on = StyleTransferPipeline.init_random(on, seed=0)
+    a = np.asarray(p_off.process_audio(wav, 1))
+    b = np.asarray(p_on.process_audio(wav, 1))
+    assert a.shape == b.shape
+    scale = np.abs(a).max() + 1e-9
+    assert np.abs(a - b).max() / scale < 2e-2, np.abs(a - b).max() / scale
