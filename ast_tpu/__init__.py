@@ -13,6 +13,17 @@ code.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some site configurations (e.g. the axon TPU plugin's sitecustomize)
+    # force-select their platform over the JAX_PLATFORMS env var. An
+    # explicitly-set env var should win everywhere (tests/conftest.py does
+    # this same override for the virtual CPU mesh).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from ast_tpu.config import (
     AudioConfig,
     Config,

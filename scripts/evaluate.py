@@ -19,6 +19,8 @@ def main():
     p.add_argument("--recon-out", default="result_evaluation_reconstruction")
     p.add_argument("--transfer-out", default="result_evaluation_style_transfer")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--stats-dir", default="train_set_stats",
+                   help="directory with per-instrument stats npz files")
     args = p.parse_args()
 
     from ast_tpu.config import Config
@@ -30,7 +32,7 @@ def main():
 
         metrics = process_test_set_with_dataloader(
             args.test_dir, args.recon_out, cfg,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir, stats_dir=args.stats_dir)
         path = save_results_json(metrics, args.recon_out)
         print(f"Results saved to: {path}")
 
@@ -40,7 +42,7 @@ def main():
 
         metrics = process_test_set(
             args.test_dir, args.transfer_out, args.batch_size, cfg,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir, stats_dir=args.stats_dir)
         save_global_statistics(metrics, args.transfer_out)
 
 
