@@ -129,14 +129,20 @@ class ModelConfig:
     ar_feedback: str = "raw"
     # Compute dtype for the forward pass; params stay float32.
     dtype: str = "float32"
-    # Fused Pallas kernel for the CNN's first ResBlock at inference:
-    # "auto" = on for single-device TPU inference cores (C_in=2 block only),
-    # "off" = always the XLA conv path. The C_in=2 input block is HBM-bound
-    # in XLA (~8 ms of the 27 ms batch core at B=32: five materialized
-    # (B*S,144,299,32) intermediates); the kernel fuses
-    # conv1+BN1+ReLU+conv2+BN2+InstanceNorm-shortcut+add+ReLU into one pass
-    # with two MXU GEMMs per tile (ops/pallas_block0.py). Same numerics
-    # class as XLA's convs (bf16 multiplies, f32 accumulation).
+    # Alternative implementations for the CNN's first ResBlock (C_in=2) at
+    # inference — the HBM-bound block (~8 ms of the 27 ms batch core at
+    # B=32). Values (ops/pallas_block0.py block0_impl):
+    #   "off"/"auto"  flax/XLA convs inside the encoder (the default and
+    #          the parity oracle path; both alternatives below measured
+    #          worse on the current v5e toolchain — see NOTES_NEXT.md)
+    #   "xla"  folded-weight XLA rewrite: BN folded into conv weights,
+    #          conv1 via space-to-depth, InstanceNorm shortcut as a
+    #          per-sample affine (no full-size stats pass); GSPMD-safe but
+    #          measured 23% slower in context (scripts/cmp_block0_xla.py)
+    #   "on"   the fused Pallas kernel — interpret-mode-tested but FAULTS
+    #          the TPU worker on the current libtpu; only for toolchains
+    #          where scripts/cmp_block0_sizes.py passes. Runtime failures
+    #          self-disable per-pipeline and drop back to the flax convs.
     fused_block0: str = "auto"
     # Rematerialize ResBlock activations in the backward pass (trades FLOPs
     # for HBM; the CNN stack over B*S windows dominates training memory).

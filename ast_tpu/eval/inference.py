@@ -206,6 +206,57 @@ class StyleTransferPipeline:
 
     # ------------------------------------------------------------------
 
+    def _disable_fused_block0(self, err: Exception) -> None:
+        """Runtime fallback: if the fused Pallas block0 fails to compile or
+        run on this backend (Mosaic lowering regressions are toolchain-
+        version-dependent), permanently drop to the XLA conv path for this
+        pipeline and invalidate the cached cores so the next call retraces
+        without the kernel. Keeps serving/bench alive at the cost of speed."""
+        import warnings
+
+        warnings.warn(
+            "fused block0 kernel failed on this backend "
+            f"({type(err).__name__}: {str(err).splitlines()[0][:200]}); "
+            "falling back to XLA convs for block0.")
+        self._fb0_disabled = True
+        for k in ("_jitted_core", "_jitted_batch_core"):
+            self.__dict__.pop(k, None)
+
+    def _fused_block0_wanted(self) -> bool:
+        return (not getattr(self, "_fb0_disabled", False)
+                and fused_block0_active(self.cfg.model))
+
+    def _block0_hook(self, content_vars, sections, mesh=None):
+        """Trace-time block0 fast-path selection (None = flax convs inside
+        the encoder): "xla" folded rewrite or the "pallas" kernel, per
+        ModelConfig.fused_block0 / block0_impl. Respects the runtime
+        self-disable flag for the Pallas kernel."""
+        from ast_tpu.ops.pallas_block0 import block0_impl
+
+        impl = block0_impl(self.cfg.model, mesh)
+        if impl == "pallas" and getattr(self, "_fb0_disabled", False):
+            impl = "none"  # runtime self-disable: back to the flax convs
+        if impl == "pallas":
+            from ast_tpu.ops.pallas_block0 import content_block0
+
+            return content_block0(content_vars, sections)
+        if impl == "xla":
+            from ast_tpu.ops.pallas_block0 import content_block0_xla
+
+            return content_block0_xla(content_vars, sections)
+        return None
+
+    def _call_with_fused_fallback(self, core_attr: str, *args, **kwargs):
+        """Invoke a cached jitted core; on failure with the fused block0
+        active, rebuild without it and retry once."""
+        try:
+            return getattr(self, core_attr)(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — compile errors vary by backend
+            if not self._fused_block0_wanted():
+                raise
+            self._disable_fused_block0(e)
+            return getattr(self, core_attr)(*args, **kwargs)
+
     def _build_core(self, mesh=None):
         """Single-clip fused core. With a mesh, the window axis S is sharded
         across the mesh's "data" axis between two GSPMD sharding constraints
@@ -246,11 +297,7 @@ class StyleTransferPipeline:
 
                 batched = jax.lax.with_sharding_constraint(
                     batched, NamedSharding(mesh, P(None, "data")))
-            b0 = None
-            if fused_block0_active(cfg.model, mesh):
-                from ast_tpu.ops.pallas_block0 import content_block0
-
-                b0 = content_block0(content_vars, batched)
+            b0 = self._block0_hook(content_vars, batched, mesh=mesh)
             content_emb = self.content_infer.apply(content_vars, batched,
                                                    block0_out=b0)
             if mesh is not None:
@@ -353,11 +400,8 @@ class StyleTransferPipeline:
 
             feats, sections = jax.vmap(featurize)(waveforms)  # (B,2,T,F), (B,S,...)
             S = sections.shape[1]
-            b0 = None
-            if allow_fused_block0 and fused_block0_active(cfg.model):
-                from ast_tpu.ops.pallas_block0 import content_block0
-
-                b0 = content_block0(content_vars, sections)
+            b0 = (self._block0_hook(content_vars, sections)
+                  if allow_fused_block0 else None)
             content_emb = self.content_infer.apply(content_vars, sections,
                                                    block0_out=b0)  # (B,S,d)
             class_emb = class_embeddings[target_ids]  # (B, d)
@@ -394,7 +438,8 @@ class StyleTransferPipeline:
         overlap = self.cfg.audio.eval_overlap_frames if overlap is None else overlap
         arr = _wire_encode_np(np.asarray(waveforms), wire)
         wavs = jnp.asarray(arr)
-        out = self._jitted_batch_core(
+        out = self._call_with_fused_fallback(
+            "_jitted_batch_core",
             wavs, self.class_embeddings, jnp.asarray(target_class_ids),
             self.content_vars_infer, self.decoder_vars,
             n_samples=int(wavs.shape[-1]), overlap=int(overlap),
@@ -481,7 +526,8 @@ class StyleTransferPipeline:
                     [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
                 t = np.concatenate([t, np.zeros(pad, t.dtype)])
             arr = _wire_encode_np(arr, wire_fmt)
-            out = self._jitted_batch_core(
+            out = self._call_with_fused_fallback(
+                "_jitted_batch_core",
                 jnp.asarray(arr), self.class_embeddings, jnp.asarray(t),
                 self.content_vars_infer, self.decoder_vars,
                 n_samples=int(arr.shape[-1]), overlap=int(overlap),
@@ -516,7 +562,8 @@ class StyleTransferPipeline:
         in_wire = wire or ("pcm16" if pcm16_in else "f32")
         arr = _wire_encode_np(arr, in_wire)
         wav = jnp.asarray(arr)
-        out = self._jitted_core(
+        out = self._call_with_fused_fallback(
+            "_jitted_core",
             wav, self.class_embeddings, jnp.asarray(target_class_id),
             self.content_vars_infer, self.decoder_vars,
             n_samples=int(wav.shape[0]), overlap=int(overlap),

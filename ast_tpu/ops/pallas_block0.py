@@ -102,10 +102,12 @@ def fold_block0(params: dict, batch_stats: dict) -> FoldedBlock0:
 
 
 def _choose_tile(h1: int, w1: int) -> int:
-    """Output rows per grid tile: must divide H1 and give the conv2 halo
-    (W1+1 lanes) room inside one neighbouring block (TH*W1 >= W1+1)."""
+    """Output rows per grid tile: must divide H1, give the conv2 halo
+    (W1+1 lanes) room inside one neighbouring block (TH*W1 >= W1+1), and
+    keep the output block's sublane dim (TH*W1) a multiple of 8 — Mosaic
+    rejects non-tile-aligned blocks that don't span the whole axis."""
     for th in (8, 6, 4, 12, 16, 3, 2, 9, 1):
-        if h1 % th == 0 and th * w1 >= w1 + 1:
+        if h1 % th == 0 and th * w1 >= w1 + 1 and (th * w1) % 8 == 0:
             return th
     return h1
 
@@ -159,19 +161,95 @@ def _build_w1n_b64(fb: FoldedBlock0, wsc_n, bsc_n):
     return w1n.astype(jnp.bfloat16), b64
 
 
-def fused_block0_active(mcfg, mesh=None) -> bool:
-    """Trace-time gate for the fused path: honours ModelConfig.fused_block0
-    ("auto" = TPU only, "on" = force incl. CPU-interpret, "off"), requires
-    the C_in=2 block shape, and stays off under an explicit device mesh
-    (GSPMD cannot partition a pallas_call; sharded serving keeps XLA convs).
+def block0_impl(mcfg, mesh=None) -> str:
+    """Trace-time block0 implementation choice: "none" (flax/XLA convs),
+    "xla" (folded-weight XLA rewrite, block0_xla) or "pallas" (the fused
+    kernel). ModelConfig.fused_block0 values:
+
+      "off"   -> none
+      "xla"   -> the XLA rewrite everywhere (plain lax ops — GSPMD-safe).
+                 Measured SLOWER in context on v5e (scripts/cmp_block0_xla.py:
+                 1.013 vs 0.826 ms/clip through the B=32 batch core — the
+                 standalone s2d conv win does not survive XLA's in-context
+                 fusion); kept as an opt-in/reference, not auto-selected.
+      "auto"  -> none (both alternatives lose on the current toolchain: the
+                 Pallas kernel faults the TPU worker, the XLA rewrite is
+                 slower in context; see NOTES_NEXT.md)
+      "on"    -> the Pallas kernel (interpret mode off-TPU), single-device
+                 only (GSPMD cannot partition a pallas_call)
     """
     if mcfg.fused_block0 == "off" or mcfg.in_channels != 2:
-        return False
-    if mesh is not None:
-        return False
+        return "none"
     if mcfg.fused_block0 == "on":
-        return True
-    return jax.default_backend() == "tpu"
+        return "none" if mesh is not None else "pallas"
+    if mcfg.fused_block0 == "xla":
+        return "xla"
+    return "none"
+
+
+def fused_block0_active(mcfg, mesh=None) -> bool:
+    """True iff the Pallas kernel specifically is selected."""
+    return block0_impl(mcfg, mesh) == "pallas"
+
+
+def block0_xla(x: jnp.ndarray, fb: FoldedBlock0) -> jnp.ndarray:
+    """block0 inference via plain XLA ops on folded weights — the safe fast
+    path ("xla" mode): (N, 2, H, W) NCHW in -> (N, H1, W1, C) NHWC out.
+
+    Same math as the flax ResBlock at inference, restructured for TPU:
+      * conv1 (3x3 stride 2, C_in=2) as space-to-depth 2x2 + a 2x2 stride-1
+        conv with rearranged weights — K grows 18 -> 32 and the spatial grid
+        halves, a measurably better XLA conv shape than the strided C_in=2
+        original (scripts/cmp_block0.py: 6.44 -> 5.57 ms standalone).
+      * BatchNorm running stats pre-folded into the conv weights (fb).
+      * the InstanceNorm'd 1x1 shortcut as a per-sample affine map computed
+        from the input's stride-2 sample moments (_instance_folded_shortcut)
+        — no stats reduction over the full-size shortcut tensor.
+    Unlike the Pallas kernel this is ordinary lax, so GSPMD can partition it
+    and every backend can run it."""
+    n, cin, h, w = x.shape
+    c = fb.w1.shape[-1]
+    h1, w1 = (h + 1) // 2, (w + 1) // 2
+    xh = jnp.transpose(x, (0, 2, 3, 1))                     # NHWC
+
+    # conv1 via space-to-depth (exact: cmp_block0.py validated vs lax conv).
+    # Rows -1 .. 2*h1 must exist and the padded extent must be EVEN for the
+    # 2x2 blocking: top pad 1, bottom pad 2*h1+1-H (2 for odd H, 1 for even).
+    xp = jnp.pad(xh, ((0, 0), (1, 2 * h1 + 1 - h), (1, 2 * w1 + 1 - w),
+                      (0, 0)))
+    hp, wp = xp.shape[1] // 2, xp.shape[2] // 2
+    z = xp.reshape(n, hp, 2, wp, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    z = z.reshape(n, hp, wp, 4 * cin)
+    k1 = fb.w1.reshape(3, 3, cin, c)
+    k4 = jnp.pad(k1, ((0, 1), (0, 1), (0, 0), (0, 0)))      # (4,4,cin,c)
+    k2s = k4.reshape(2, 2, 2, 2, cin, c).transpose(0, 2, 1, 3, 4, 5)
+    k2s = k2s.reshape(2, 2, 4 * cin, c)
+    y1 = jax.lax.conv_general_dilated(
+        z, k2s, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[:, :h1, :w1, :] + fb.b1
+    y1 = jax.nn.relu(y1)
+
+    # conv2 (3x3 stride 1) from the w-stacked matrix
+    k2 = fb.v96.reshape(3, c, 3, c).transpose(2, 0, 3, 1)   # (dh,dw,ci,co)
+    y2 = jax.lax.conv_general_dilated(
+        y1, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + fb.b2
+
+    # shortcut: per-sample affine with the InstanceNorm folded in
+    wsc_n, bsc_n = _instance_folded_shortcut(x, fb)         # (N,2,C),(N,C)
+    xs = xh[:, ::2, ::2, :]                                 # (N,h1,w1,2)
+    ysc = jnp.einsum("nhwi,nic->nhwc", xs, wsc_n) + bsc_n[:, None, None, :]
+    return jax.nn.relu(y2 + ysc)
+
+
+def content_block0_xla(content_vars: dict,
+                       sections: jnp.ndarray) -> jnp.ndarray:
+    """block0_xla over content-encoder input windows (see content_block0)."""
+    b, s, cin, t, f = sections.shape
+    x = sections.reshape(b * s, cin, t, f)
+    fb = fold_block0(content_vars["params"]["cnn"]["block0"],
+                     content_vars["batch_stats"]["cnn"]["block0"])
+    return block0_xla(x, fb)
 
 
 def content_block0(content_vars: dict, sections: jnp.ndarray) -> jnp.ndarray:
@@ -210,6 +288,10 @@ def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
     halo = w1 + 1
 
     p1t = _im2col_p1t(x)                                    # (N, 32, M1)
+    # Pre-tile to (N, nt, 32, Mt): Mosaic requires block minor dims to be
+    # tile-multiples OR span the whole axis, and Mt = th*W1 is generally
+    # not a multiple of 128 — as a full trailing axis it is always legal.
+    cur = p1t.reshape(n, 32, nt, mt).transpose(0, 2, 1, 3)
     # halo slivers as separate small arrays (zero-padded at the sequence
     # edges) instead of three full-block views of p1t — the kernel then
     # reads each p1t byte once plus ~2*halo/Mt extra, not 3x everything
@@ -221,7 +303,9 @@ def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
                         for t in range(nt)], axis=1)
     wsc_n, bsc_n = _instance_folded_shortcut(x, fb)
     w1n, b64 = _build_w1n_b64(fb, wsc_n, bsc_n)             # (N,32,2C),(N,2C)
-    v = fb.v96.astype(jnp.bfloat16)                         # (3C, 3C)
+    # conv2 weights pre-split by dh tap row (kernel accumulates three GEMMs)
+    v = jnp.stack([fb.v96[:, dh * c: (dh + 1) * c]
+                   for dh in range(3)]).astype(jnp.bfloat16)  # (3, 3C, C)
     # biases shaped as column vectors so the kernel broadcasts over lanes
     # without any in-kernel (1, K) -> (K, 1) relayout
     b64 = b64[:, :, None]                                   # (N, 2C, 1)
@@ -231,7 +315,7 @@ def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
                out_ref):
         t = pl.program_id(1)
         # assemble the conv1 evaluation span: Mt + 2*halo flat columns
-        a = jnp.concatenate([l_ref[0, 0], cur_ref[0], r_ref[0, 0]],
+        a = jnp.concatenate([l_ref[0, 0], cur_ref[0, 0], r_ref[0, 0]],
                             axis=1)                          # (32, Mc)
         mc = mt + 2 * halo
 
@@ -251,14 +335,22 @@ def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
         t1 = jnp.where(valid, jax.nn.relu(o1[:c]), 0.0)     # (C, Mc)
         sc = o1[c:, halo: halo + mt]                        # (C, Mt)
 
-        # conv2 w-stacked GEMM: rows dh*C+ci of P2 are T1 shifted (dh-1)*W1
-        p2 = jnp.concatenate(
-            [t1[:, 0: mt + 2],
-             t1[:, w1: w1 + mt + 2],
-             t1[:, 2 * w1: 2 * w1 + mt + 2]], axis=0).astype(jnp.bfloat16)
+        # conv2 as THREE accumulated GEMMs, one per dh tap row: rows dh*C+ci
+        # of the w-stacked formulation are T1 shifted (dh-1)*W1 lanes.
+        # Mosaic's concatenate cannot take operands with differing lane
+        # offsets (the shifted slices land at M%128 != 0), but dot_general
+        # operands and elementwise ops CAN — so the dh stacking moves from
+        # the contraction dim to an unrolled accumulation.
         tt = jax.lax.dot_general(
-            v_ref[...], p2, (((1,), (0,)), ((), ())),
+            v_ref[0], t1[:, 0: mt + 2].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (3C, Mt+2)
+        for dh in (1, 2):
+            tt = tt + jax.lax.dot_general(
+                v_ref[dh],
+                t1[:, dh * w1: dh * w1 + mt + 2].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         # out(m) = T[dw=0](m-1) + T[dw=1](m) + T[dw=2](m+1), with the w-edge
         # terms masked (tile starts are w-aligned: m0 % W1 == 0)
@@ -278,7 +370,7 @@ def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
         in_specs=[
             pl.BlockSpec((1, 1, 32, halo), lambda ni, ti: (ni, ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, mt), lambda ni, ti: (ni, 0, ti),
+            pl.BlockSpec((1, 1, 32, mt), lambda ni, ti: (ni, ti, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 32, halo), lambda ni, ti: (ni, ti, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -286,7 +378,7 @@ def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * c, 1), lambda ni, ti: (ni, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * c, 3 * c), lambda ni, ti: (0, 0),
+            pl.BlockSpec((3, 3 * c, c), lambda ni, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1), lambda ni, ti: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -299,7 +391,7 @@ def block0_fused(x: jnp.ndarray, fb: FoldedBlock0,
             bytes_accessed=int(p1t.size * 2 + n * m1 * c * 4),
             transcendentals=0),
         interpret=interpret,
-    )(lefts, p1t, rights, w1n, b64, v, b2)
+    )(lefts, cur, rights, w1n, b64, v, b2)
     return out.reshape(n, h1, w1, c)
 
 

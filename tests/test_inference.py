@@ -238,3 +238,53 @@ def test_fused_block0_pipeline_matches(audio_clip):
     assert a.shape == b.shape
     scale = np.abs(a).max() + 1e-9
     assert np.abs(a - b).max() / scale < 2e-2, np.abs(a - b).max() / scale
+
+
+def test_block0_xla_pipeline_matches(audio_clip):
+    """fused_block0="xla" (folded-weight XLA rewrite) must match the flax
+    conv path through the whole pipeline at fp32 accuracy."""
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    off = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY_MODEL, fused_block0="off"))
+    xla = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY_MODEL, fused_block0="xla"))
+    p_off = StyleTransferPipeline.init_random(off, seed=0)
+    p_xla = StyleTransferPipeline.init_random(xla, seed=0)
+    a = np.asarray(p_off.process_audio(wav, 1))
+    b = np.asarray(p_xla.process_audio(wav, 1))
+    assert a.shape == b.shape
+    scale = np.abs(a).max() + 1e-9
+    assert np.abs(a - b).max() / scale < 1e-4, np.abs(a - b).max() / scale
+
+
+def test_fused_block0_runtime_fallback(audio_clip, monkeypatch):
+    """If the fused block0 kernel fails at run time (Mosaic lowering or a
+    worker fault on some toolchains), the pipeline must self-disable it,
+    warn, and produce the XLA-conv-path result instead of crashing."""
+    import warnings
+
+    import ast_tpu.ops.pallas_block0 as pb0
+
+    wav = audio_clip[: TINY_AUDIO.clip_samples]
+    on = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY_MODEL, fused_block0="on"))
+    p_ref = StyleTransferPipeline.init_random(
+        dataclasses.replace(
+            TINY, model=dataclasses.replace(TINY_MODEL, fused_block0="off")),
+        seed=0)
+    want = np.asarray(p_ref.process_audio(wav, 1))
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic kernel fault")
+
+    monkeypatch.setattr(pb0, "content_block0", boom)
+    pipe = StyleTransferPipeline.init_random(on, seed=0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = np.asarray(pipe.process_audio(wav, 1))
+    assert getattr(pipe, "_fb0_disabled", False) is True
+    assert any("fused block0" in str(x.message) for x in w)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # subsequent calls stay on the fallback path without re-raising
+    got2 = np.asarray(pipe.process_audio(wav, 1))
+    np.testing.assert_allclose(got2, want, atol=1e-5)

@@ -71,11 +71,36 @@ def test_active_gate():
 
     from ast_tpu.config import ModelConfig
 
+    from ast_tpu.ops.pallas_block0 import block0_impl
+
     m = ModelConfig()
-    on_tpu = jax.default_backend() == "tpu"
-    assert fused_block0_active(m) is on_tpu  # auto
-    assert fused_block0_active(dataclasses.replace(m, fused_block0="off")) is False
-    assert fused_block0_active(dataclasses.replace(m, fused_block0="on")) is True
-    assert fused_block0_active(m, mesh=object()) is False
-    assert fused_block0_active(
-        dataclasses.replace(m, in_channels=3, fused_block0="on")) is False
+    # default "auto" = flax convs: the Pallas kernel faults the current
+    # libtpu and the XLA rewrite measured slower in context (config.py)
+    assert m.fused_block0 == "auto"
+    assert block0_impl(m) == "none"
+    assert fused_block0_active(m) is False
+    assert block0_impl(dataclasses.replace(m, fused_block0="xla")) == "xla"
+    assert block0_impl(dataclasses.replace(m, fused_block0="off")) == "none"
+    on = dataclasses.replace(m, fused_block0="on")
+    assert block0_impl(on) == "pallas"
+    assert fused_block0_active(on) is True
+    assert block0_impl(on, mesh=object()) == "none"  # no pallas under GSPMD
+    assert block0_impl(
+        dataclasses.replace(m, fused_block0="xla"), mesh=object()) == "xla"
+    assert block0_impl(
+        dataclasses.replace(m, in_channels=3, fused_block0="on")) == "none"
+
+
+def test_block0_xla_matches_reference():
+    """The folded-weight XLA rewrite (s2d conv1 + per-sample IN shortcut)
+    must match block0_reference to fp32 reassociation accuracy."""
+    from ast_tpu.ops.pallas_block0 import block0_reference, block0_xla
+
+    fb = _random_folded(np.random.default_rng(3))
+    for shape in ((2, 2, 37, 53), (2, 2, 16, 44)):  # odd AND even H/W
+        x = 0.5 * jax.random.normal(jax.random.PRNGKey(4), shape)
+        want = np.asarray(block0_reference(x, fb))
+        got = np.asarray(block0_xla(x, fb))
+        assert got.shape == want.shape
+        rel = np.abs(want - got).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-5, (shape, rel)
