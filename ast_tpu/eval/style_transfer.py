@@ -134,9 +134,20 @@ def process_test_set(
                 cfg, bundle.state.style, sections[0], sections[half0])
             log(f"Generated class embeddings from batch shape: {sections.shape}")
         if pipeline is None:
+            # Inference-feature normalization (quirk-fix preset only): prefer
+            # the unified stats of THIS corpus (stats_dir) over the packaged
+            # reference stats, so synthetic/custom corpora normalize
+            # consistently with their training features.
+            pipe_stats = None
+            if not cfg.faithful and stats_dir:
+                unified = os.path.join(stats_dir, "stats_unified_stft_cqt.npz")
+                if os.path.exists(unified):
+                    from ast_tpu.dsp.norm import FeatureStats
+
+                    pipe_stats = FeatureStats.from_npz(unified)
             pipeline = StyleTransferPipeline.from_variables(
                 cfg, bundle.state.content, bundle.state.decoder,
-                class_embeddings)
+                class_embeddings, stats=pipe_stats)
 
         B = sections.shape[0]
         half = B // 2

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""AR-vs-TF tracking on a TRAINED checkpoint and HELD-OUT clips.
+
+scripts/overfit_check.py demonstrates the decoder mechanics on one memorized
+batch; this runs the same per-window comparison on real (held-out) audio
+through a trained full-size checkpoint, in both feedback modes:
+
+  raw       reference-faithful AR (feeds raw transformer outputs back,
+            SimpleDecoder_TransformerOnly.py:107-122) — expected to track TF
+            on window 0 only.
+  reencode  the quirk-fix feedback (feeds back the exact teacher-forcing
+            input transform) — the demonstrated-working configuration; AR
+            should track TF on every window.
+
+Writes <out>/ar_tracking.json with per-window AR-vs-TF correlation and
+relative L2 for both modes, plus TF-vs-target reconstruction quality."""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--test-dir", required=True,
+                   help="dir with piano/ and violin/ subdirs")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--out", default="demo/ar_tracking")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--stats-dir", default="train_set_stats")
+    p.add_argument("--unfaithful", action="store_true",
+                   help="use Config().unfaithful() (unified overlap etc.); "
+                        "feedback modes are still compared explicitly")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ast_tpu.config import Config
+    from ast_tpu.data.dataset import DualInstrumentDataset, balanced_batches
+    from ast_tpu.eval.model_loading import load_eval_bundle
+    from ast_tpu.models.decoder import autoregressive_decode
+
+    cfg = Config().unfaithful() if args.unfaithful else Config()
+    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
+    models, state = bundle.models, bundle.state
+
+    ds = DualInstrumentDataset.from_dirs(
+        os.path.join(args.test_dir, "piano"),
+        os.path.join(args.test_dir, "violin"),
+        stats_dir=args.stats_dir, cfg=cfg.audio)
+    x, labels = next(balanced_batches(ds, args.batch_size, shuffle=False))
+    stft_bins = cfg.model.stft_bins
+    y = np.asarray(x[..., :stft_bins])
+    S = y.shape[1]
+
+    @jax.jit
+    def encode(x, labels):
+        _, class_emb = models.style.apply(state.style, x, labels, False)
+        content_emb = models.content.apply(state.content, x, False)
+        return content_emb, class_emb
+
+    content_emb, class_emb = encode(x, jnp.asarray(labels))
+
+    @jax.jit
+    def tf_decode(c, e, x):
+        return models.decoder.apply(state.decoder, c, e, x[..., :stft_bins],
+                                    None, False)
+
+    y_tf = np.asarray(tf_decode(content_emb, class_emb[labels], x))
+
+    def rel_l2(a, b):
+        return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+    results = {
+        "tf_vs_target_rel_l2": rel_l2(y_tf, y),
+        "checkpoint_loaded": bundle.class_prototypes is not None,
+        "n_clips": int(y.shape[0]),
+        "n_windows": S,
+        "modes": {},
+    }
+    for mode in ("raw", "reencode"):
+        y_ar = np.asarray(jax.jit(
+            lambda c, e, mode=mode: autoregressive_decode(
+                models.decoder, state.decoder, c, e, S, feedback=mode)
+        )(content_emb, class_emb[labels]))
+        per_window = {
+            f"window{i}": {
+                "ar_vs_tf_corr": float(np.corrcoef(
+                    y_ar[:, i].ravel(), y_tf[:, i].ravel())[0, 1]),
+                "ar_vs_tf_rel_l2": rel_l2(y_ar[:, i], y_tf[:, i]),
+            }
+            for i in range(S)
+        }
+        results["modes"][mode] = {
+            "ar_vs_target_rel_l2": rel_l2(y_ar, y),
+            "ar_vs_tf_corr": float(np.corrcoef(y_ar.ravel(),
+                                               y_tf.ravel())[0, 1]),
+            "per_window": per_window,
+        }
+        print(mode, json.dumps(per_window, indent=2), flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "ar_tracking.json"), "w") as f:
+        json.dump(results, f, indent=2)
+
+    # Pass: on held-out data with trained weights, the reencode rollout must
+    # track teacher forcing on EVERY window markedly better than the
+    # faithful raw rollout does beyond window 0.
+    re_w = results["modes"]["reencode"]["per_window"]
+    ok = all(w["ar_vs_tf_corr"] > 0.9 for w in re_w.values())
+    print("ar tracking check:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

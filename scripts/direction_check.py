@@ -26,6 +26,13 @@ def main():
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--out", default="demo/direction_check")
     p.add_argument("--max-clips", type=int, default=4)
+    p.add_argument("--unfaithful", action="store_true",
+                   help="run with Config().unfaithful(): unified overlap, "
+                        "normalized inference features, reencode AR feedback")
+    p.add_argument("--stats-dir", default=None,
+                   help="with --unfaithful: normalize inference features "
+                        "with this corpus's stats_unified_stft_cqt.npz "
+                        "instead of the packaged reference stats")
     args = p.parse_args()
 
     from ast_tpu.config import Config
@@ -35,11 +42,18 @@ def main():
     from ast_tpu.eval.model_loading import load_eval_bundle
     from ast_tpu.eval.inference import StyleTransferPipeline
 
-    cfg = Config()
+    cfg = Config().unfaithful() if args.unfaithful else Config()
     bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
+    pipe_stats = None
+    if args.stats_dir and not cfg.faithful:
+        unified = os.path.join(args.stats_dir, "stats_unified_stft_cqt.npz")
+        if os.path.exists(unified):
+            from ast_tpu.dsp.norm import FeatureStats
+
+            pipe_stats = FeatureStats.from_npz(unified)
     pipe = StyleTransferPipeline.from_variables(
         cfg, bundle.state.content, bundle.state.decoder,
-        bundle.class_prototypes)
+        bundle.class_prototypes, stats=pipe_stats)
 
     clips = {}
     for name in ("piano", "violin"):

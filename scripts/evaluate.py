@@ -21,11 +21,15 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--stats-dir", default="train_set_stats",
                    help="directory with per-instrument stats npz files")
+    p.add_argument("--unfaithful", action="store_true",
+                   help="evaluate with Config().unfaithful(): unified 96/96 "
+                        "overlap, normalized inference features, reencode AR "
+                        "feedback (the demonstrated-working configuration)")
     args = p.parse_args()
 
     from ast_tpu.config import Config
 
-    cfg = Config()
+    cfg = Config().unfaithful() if args.unfaithful else Config()
     if args.mode in ("reconstruction", "both"):
         from ast_tpu.eval.reconstruction import (
             process_test_set_with_dataloader, save_results_json)
