@@ -18,6 +18,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--checkpoint-every", type=int, default=10,
+                   help="epochs between orbax saves; on relay-attached "
+                        "chips each save fetches the full param+optimizer "
+                        "tree from device (~minutes), so sparse saves cut "
+                        "wall time substantially for short runs")
     p.add_argument("--codec", choices=["linear", "conv"], default="linear")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward compute (losses stay f32); ~2-3x "
@@ -37,7 +42,8 @@ def main():
     cfg = dataclasses.replace(
         cfg, model=model_cfg,
         train=TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
-                          num_epochs=args.epochs))
+                          num_epochs=args.epochs,
+                          checkpoint_every=args.checkpoint_every))
     ds = DualInstrumentDataset.from_dirs(
         args.piano_dir, args.violin_dir, stats_dir=args.stats_dir,
         cfg=cfg.audio)
