@@ -137,7 +137,10 @@ def chroma_similarity(generated_audio, original_audio, sr=22050) -> float:
         m = min(c_gen.shape[1], c_orig.shape[1])
         sims = []
         for i in range(c_gen.shape[0]):
-            v = np.corrcoef(c_gen[i, :m], c_orig[i, :m])[0, 1]
+            # constant rows make corrcoef 0/0 -> NaN; that case is handled
+            # below, so silence numpy's divide warnings (value-identical)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = np.corrcoef(c_gen[i, :m], c_orig[i, :m])[0, 1]
             if not np.isnan(v):
                 sims.append(v)
         if sims:

@@ -59,20 +59,25 @@ def main():
     y = np.asarray(x[..., :stft_bins])
     S = y.shape[1]
 
+    # params travel as jit ARGUMENTS, not closure constants: captured trees
+    # are baked into the HLO as literals, and the 620 MB decoder breaks the
+    # relay's remote-compile request (HTTP 413).
     @jax.jit
-    def encode(x, labels):
-        _, class_emb = models.style.apply(state.style, x, labels, False)
-        content_emb = models.content.apply(state.content, x, False)
+    def encode(sv, cv, x, labels):
+        _, class_emb = models.style.apply(sv, x, labels, False)
+        content_emb = models.content.apply(cv, x, False)
         return content_emb, class_emb
 
-    content_emb, class_emb = encode(x, jnp.asarray(labels))
+    content_emb, class_emb = encode(state.style, state.content, x,
+                                    jnp.asarray(labels))
 
     @jax.jit
-    def tf_decode(c, e, x):
-        return models.decoder.apply(state.decoder, c, e, x[..., :stft_bins],
+    def tf_decode(dv, c, e, x):
+        return models.decoder.apply(dv, c, e, x[..., :stft_bins],
                                     None, False)
 
-    y_tf = np.asarray(tf_decode(content_emb, class_emb[labels], x))
+    y_tf = np.asarray(tf_decode(state.decoder, content_emb,
+                                class_emb[labels], x))
 
     def rel_l2(a, b):
         return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
@@ -86,9 +91,9 @@ def main():
     }
     for mode in ("raw", "reencode"):
         y_ar = np.asarray(jax.jit(
-            lambda c, e, mode=mode: autoregressive_decode(
-                models.decoder, state.decoder, c, e, S, feedback=mode)
-        )(content_emb, class_emb[labels]))
+            lambda dv, c, e, mode=mode: autoregressive_decode(
+                models.decoder, dv, c, e, S, feedback=mode)
+        )(state.decoder, content_emb, class_emb[labels]))
         per_window = {
             f"window{i}": {
                 "ar_vs_tf_corr": float(np.corrcoef(
