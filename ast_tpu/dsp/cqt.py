@@ -394,6 +394,9 @@ def cqt_ri(
     transform: str = "rfft",
     precision="highest",
     layout: str = "cf",
+    bins_per_octave: int = _DEF.cqt_bins_per_octave,
+    fmin: float = _DEF.cqt_fmin,
+    filter_scale: float = _DEF.cqt_filter_scale,
 ) -> jnp.ndarray:
     """CQT in the reference's packed layout (2, T, F), or channels-last
     (T, F, 2) with layout="cl" (identical values; see stft_ri)
@@ -402,10 +405,56 @@ def cqt_ri(
     librosa.cqt's 0.01-quantile basis sparsification (on by default there,
     hence here)."""
     c = cqt(x, sr=sr, n_bins=n_bins, hop_length=hop_length,
-            algorithm=algorithm, sparsity=sparsity, transform=transform,
+            bins_per_octave=bins_per_octave, fmin=fmin,
+            filter_scale=filter_scale, algorithm=algorithm,
+            sparsity=sparsity, transform=transform,
             precision=precision)
     axis = -1 if layout == "cl" else 0
     return jnp.stack([jnp.real(c), jnp.imag(c)], axis=axis).astype(jnp.float32)
+
+
+def cqt_context_frames(
+    sr: int = _DEF.sample_rate,
+    n_bins: int = _DEF.cqt_bins,
+    hop_length: int = _DEF.hop_length,
+    bins_per_octave: int = _DEF.cqt_bins_per_octave,
+    fmin: float = _DEF.cqt_fmin,
+    filter_scale: float = _DEF.cqt_filter_scale,
+    algorithm: str = "recursive",
+    alpha_mode: str = "librosa",
+) -> int:
+    """Minimum frames of real signal context on each side of an analysis
+    frame for a CHUNKED CQT evaluation to equal the whole-signal one (used by
+    the streaming pipeline to size its featurization margin,
+    ast_tpu/eval/streaming.py).
+
+    A frame at time t reads the signal through (a) the octave kernel's FFT
+    window — n_fft/2 samples each side at that octave's rate, i.e.
+    n_fft/2 * 2^(n_octaves-1) original-rate samples for the lowest octave —
+    and (b), for the recursive algorithm, the 2:1 Kaiser decimator chain,
+    whose half-width accumulates as width * (2^(n_octaves-1) - 1) original
+    samples. Chunk starts aligned to hop_length keep the decimated grids in
+    phase (the recursive hop divisibility constraint guarantees alignment),
+    so context truncation is the ONLY chunked-vs-offline difference; this
+    bound makes it zero (verified in tests/test_streaming.py)."""
+    n_octaves = int(math.ceil(n_bins / bins_per_octave))
+    n_filters = min(bins_per_octave, n_bins)
+    freqs_all = cqt_frequencies(n_bins, fmin, bins_per_octave)
+    Q = filter_scale / cqt_alpha(bins_per_octave, alpha_mode)
+    if algorithm == "recursive":
+        # the shared per-octave kernel, evaluated at each octave's own rate
+        lengths = Q * sr / freqs_all[n_bins - n_filters:]
+        n_fft = int(2 ** np.ceil(np.log2(lengths.max())))
+        half = (n_fft // 2) * 2 ** (n_octaves - 1)
+        from ast_tpu.dsp.resample import KAISER_ROLLOFF, KAISER_WIDTH
+
+        dec_width = int(math.ceil(KAISER_WIDTH * 2 / KAISER_ROLLOFF))
+        half += dec_width * (2 ** (n_octaves - 1) - 1)
+    else:  # direct: every bin at the full rate, one kernel
+        lengths = Q * sr / freqs_all
+        n_fft = int(2 ** np.ceil(np.log2(lengths.max())))
+        half = n_fft // 2
+    return int(math.ceil(half / hop_length))
 
 
 def icqt(

@@ -42,7 +42,9 @@ def extract_features(
     c = cqt_ri(waveform, sr=cfg.sample_rate, n_bins=cfg.cqt_bins,
                hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm,
                sparsity=cfg.cqt_sparsity, transform=cfg.cqt_transform,
-               precision=cfg.dft_precision)
+               precision=cfg.dft_precision,
+               bins_per_octave=cfg.cqt_bins_per_octave, fmin=cfg.cqt_fmin,
+               filter_scale=cfg.cqt_filter_scale)
     s = normalize(s, stft_mean, stft_std)
     c = normalize(c, cqt_mean, cqt_std)
     feats = concat_stft_cqt(s, c)

@@ -7,8 +7,9 @@ from ast_tpu.eval.inference import (
     StyleTransferPipeline,
     generate_class_embeddings,
 )
+from ast_tpu.eval.streaming import StreamingTransfer, StreamState
 
 __all__ = [
     "ID_TO_NAME", "NAME_TO_ID", "StyleTransferPipeline",
-    "generate_class_embeddings",
+    "generate_class_embeddings", "StreamingTransfer", "StreamState",
 ]

@@ -278,7 +278,9 @@ class StyleTransferPipeline:
             c = cqt_ri(waveform, sr=a.sample_rate, n_bins=a.cqt_bins,
                        hop_length=a.hop_length, algorithm=a.cqt_algorithm,
                        sparsity=a.cqt_sparsity, transform=a.cqt_transform,
-                       precision=a.dft_precision)
+                       precision=a.dft_precision,
+                       bins_per_octave=a.cqt_bins_per_octave, fmin=a.cqt_fmin,
+                       filter_scale=a.cqt_filter_scale)
             if self.stats is not None:  # opt-in; reference never normalizes
                 from ast_tpu.dsp.norm import normalize
 
@@ -386,7 +388,9 @@ class StyleTransferPipeline:
                 c = cqt_ri(w, sr=a.sample_rate, n_bins=a.cqt_bins,
                            hop_length=a.hop_length, algorithm=a.cqt_algorithm,
                            sparsity=a.cqt_sparsity, transform=a.cqt_transform,
-                           precision=a.dft_precision)
+                           precision=a.dft_precision,
+                           bins_per_octave=a.cqt_bins_per_octave,
+                           fmin=a.cqt_fmin, filter_scale=a.cqt_filter_scale)
                 if self.stats is not None:  # opt-in; reference never normalizes
                     from ast_tpu.dsp.norm import normalize
 

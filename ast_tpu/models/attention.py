@@ -172,11 +172,12 @@ class TransformerDecoderLayer(nn.Module):
         self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")
         self.drop = nn.Dropout(self.dropout)
 
-    def __call__(self, x, memory, tgt_mask=None, deterministic: bool = True):
+    def __call__(self, x, memory, tgt_mask=None, deterministic: bool = True,
+                 memory_mask=None):
         h1 = self.norm1(x)
         sa = self.self_attn(h1, h1, tgt_mask, deterministic)
         x = x + self.drop(sa, deterministic=deterministic)
-        ca = self.cross_attn(self.norm2(x), memory, None, deterministic)
+        ca = self.cross_attn(self.norm2(x), memory, memory_mask, deterministic)
         x = x + self.drop(ca, deterministic=deterministic)
         f = self.ff(self.norm3(x), deterministic)
         x = x + self.drop(f, deterministic=deterministic)
@@ -227,10 +228,11 @@ class TransformerDecoder(nn.Module):
             for i in range(self.num_layers)
         ]
 
-    def __call__(self, tgt, memory, tgt_mask=None, deterministic: bool = True):
+    def __call__(self, tgt, memory, tgt_mask=None, deterministic: bool = True,
+                 memory_mask=None):
         x = tgt
         for layer in self.layers:
-            x = layer(x, memory, tgt_mask, deterministic)
+            x = layer(x, memory, tgt_mask, deterministic, memory_mask)
         return x
 
     def precompute_cross_kv(self, memory):

@@ -309,6 +309,35 @@ class Decoder(nn.Module):
             x.dtype)
         return self.input_norm(x + pe[0][None, None])
 
+    # ---- streaming pieces (ast_tpu.eval.streaming) ----
+
+    def core_forward(self, x, memory, tgt_mask=None, memory_mask=None):
+        """Run the transformer core over a full (B, K, d) input ring with an
+        optional cross-attention memory mask — the streaming decode path
+        re-runs the core over its sliding context each window (K is small, so
+        the O(K^2) re-run is cheaper than sliding-KV-cache bookkeeping)."""
+        return self.core(x, memory, tgt_mask, deterministic=True,
+                         memory_mask=memory_mask)
+
+    def prepare_stream_inputs(self, emb, normed: bool):
+        """PE (by ring slot position) + optionally input_norm over a
+        (B, K, d) ring of pre-PE decoder input embeddings.
+
+        normed=False reproduces the reference-faithful "raw" feedback (PE
+        only, no input_norm — SimpleDecoder_TransformerOnly.py:107-122);
+        normed=True the "reencode" quirk-fix transform (the teacher-forcing
+        input pipeline, forward_training's y_shift)."""
+        pe = jnp.asarray(
+            sinusoidal_position_encoding(self.cfg.max_len, self.cfg.d_model),
+            emb.dtype)
+        x = emb + pe[None, : emb.shape[1], :]
+        return self.input_norm(x) if normed else x
+
+    def encode_frame(self, frame):
+        """frame_codec.encode of a (B, S, 2, W, F) frame — the pre-PE
+        "reencode" feedback embedding for a decoded output frame."""
+        return self.frame_codec.encode(frame)
+
     def prepare_feedback(self, y_t, pos):
         """input_norm(PE_pos(encode(decode(y_t)))) for (B, 1, d) transformer
         output y_t: decode the predicted frame to STFT space, re-encode it,

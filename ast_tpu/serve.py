@@ -8,6 +8,10 @@ around `StyleTransferPipeline`:
 
     POST /transfer?target=violin     wav/mp3 body -> transferred wav body
     POST /reconstruct?target=piano   same-class reconstruction
+    POST /stream?target=violin       LIVE streaming: chunked raw PCM16LE in,
+                                     chunked raw PCM16LE out (samples are
+                                     returned as they become final — see
+                                     ast_tpu/eval/streaming.py)
     GET  /healthz                    liveness + device + compiled buckets
     GET  /stats                      request counts + latency quantiles
 
@@ -309,6 +313,17 @@ class TransferServer:
             with open(out_path, "rb") as f:
                 return f.read()
 
+    def _stream_session(self, target: str, context: int, margin):
+        """Build a per-connection StreamingTransfer (the compiled step is
+        shared across connections via the pipeline's step cache)."""
+        from ast_tpu.eval.streaming import StreamingTransfer
+
+        if target not in NAME_TO_ID:
+            raise ValueError(f"unknown target {target!r}; "
+                             f"expected one of {sorted(NAME_TO_ID)}")
+        return StreamingTransfer(self.pipe, target, context_windows=context,
+                                 margin_frames=margin)
+
     def _healthz(self) -> dict:
         import jax
 
@@ -389,9 +404,110 @@ class TransferServer:
                 else:
                     self._send_json(404, {"error": f"unknown path {path}"})
 
+            def _body_blocks(self, max_bytes: int):
+                """Yield request-body byte blocks: chunked transfer encoding
+                (true live streaming) or a Content-Length body read in
+                blocks (still streamed through the pipeline)."""
+                te = (self.headers.get("Transfer-Encoding") or "").lower()
+                if "chunked" in te:
+                    total = 0
+                    while True:
+                        line = self.rfile.readline(32)
+                        if not line:
+                            raise ValueError("truncated chunked body")
+                        size = int(line.strip().split(b";")[0] or b"0", 16)
+                        total += size
+                        if total > max_bytes:
+                            raise ValueError("body too large")
+                        if size == 0:
+                            self.rfile.readline()  # trailer-terminating CRLF
+                            return
+                        data = self.rfile.read(size)
+                        if len(data) < size:
+                            raise ValueError("truncated chunk")
+                        self.rfile.read(2)  # chunk-terminating CRLF
+                        yield data
+                else:
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n <= 0 or n > max_bytes:
+                        raise ValueError(f"bad Content-Length {n}")
+                    remaining = n
+                    while remaining > 0:
+                        block = self.rfile.read(min(1 << 16, remaining))
+                        if not block:
+                            raise ValueError("truncated body")
+                        remaining -= len(block)
+                        yield block
+
+            def _do_stream(self, query):
+                """POST /stream: raw PCM16LE mono at the pipeline sample rate
+                in (chunked or fixed-length), chunked raw PCM16LE out —
+                output samples are written as soon as they are final."""
+                target = query.get("target", [""])[0]
+                try:
+                    context = int(query.get("context", ["8"])[0])
+                    raw_margin = query.get("margin", ["auto"])[0]
+                    margin = (None if raw_margin in ("auto", "")
+                              else int(raw_margin))
+                    stream = server._stream_session(target, context, margin)
+                except ValueError as e:
+                    server._record("stream", error=True)
+                    self._reject(400, {"error": str(e)})
+                    return
+                a = server.pipe.cfg.audio
+                max_bytes = int(server.max_seconds * a.sample_rate * 2) + (1 << 12)
+                t0 = time.perf_counter()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def write_pcm(samples: np.ndarray):
+                    if len(samples) == 0:
+                        return
+                    data = np.clip(np.round(samples * 32768.0), -32768,
+                                   32767).astype("<i2").tobytes()
+                    self.wfile.write(f"{len(data):x}\r\n".encode()
+                                     + data + b"\r\n")
+
+                carry = b""
+                try:
+                    for block in self._body_blocks(max_bytes):
+                        block = carry + block
+                        usable = len(block) & ~1  # int16 alignment
+                        carry = block[usable:]
+                        if not usable:
+                            continue
+                        samples = (np.frombuffer(block[:usable], "<i2")
+                                   .astype(np.float32) / 32768.0)
+                        with server._device_lock:
+                            out = stream.push(samples)
+                        write_pcm(out)
+                    with server._device_lock:
+                        out = stream.flush()
+                    write_pcm(out)
+                    self.wfile.write(b"0\r\n\r\n")
+                    server._record("stream", time.perf_counter() - t0)
+                except (BrokenPipeError, ConnectionResetError):
+                    self.close_connection = True
+                    server._record("stream", error=True)
+                except ValueError:
+                    # malformed body / stream shorter than one window: the
+                    # 200 header is already out — terminate the chunked
+                    # stream cleanly (the client sees a short response)
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        pass
+                    self.close_connection = True
+                    server._record("stream", error=True)
+
             def do_POST(self):
                 parsed = urlparse(self.path)
                 path = parsed.path
+                if path == "/stream":
+                    self._do_stream(parse_qs(parsed.query))
+                    return
                 if path not in ("/transfer", "/reconstruct"):
                     self._reject(404, {"error": f"unknown path {path}"})
                     return

@@ -35,7 +35,10 @@ def _clip_moments(cfg: AudioConfig):
     def moments(waveform):
         s = stft_ri(waveform, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
         c = cqt_ri(waveform, sr=cfg.sample_rate, n_bins=cfg.cqt_bins,
-                   hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm, sparsity=cfg.cqt_sparsity)
+                   hop_length=cfg.hop_length, algorithm=cfg.cqt_algorithm,
+                   sparsity=cfg.cqt_sparsity,
+                   bins_per_octave=cfg.cqt_bins_per_octave, fmin=cfg.cqt_fmin,
+                   filter_scale=cfg.cqt_filter_scale)
         merged = jnp.concatenate([s, c], axis=2)  # (2, T, F)
         clip_mean = merged.mean(axis=1)           # (2, F)
         clip_var = merged.var(axis=1, ddof=1)     # (2, F), torch.std default

@@ -300,3 +300,127 @@ def test_stats_endpoint(server):
     assert s["errors"] >= 1
     assert s["latency_ms"]["n"] >= 1 and s["latency_ms"]["p50"] > 0
     assert "batch_sizes" in s
+
+
+# ---------------------------------------------------------------------------
+# POST /stream — live chunked PCM16 streaming
+
+
+def _stream_pcm(url_host: str, path: str, pcm: bytes, chunk: int = 4096,
+                timeout: float = 300.0) -> bytes:
+    """Send pcm bytes as a chunked request body; return the whole response
+    body (http.client decodes the chunked response transparently)."""
+    import http.client
+
+    conn = http.client.HTTPConnection(url_host, timeout=timeout)
+    try:
+        blocks = (pcm[i:i + chunk] for i in range(0, len(pcm), chunk))
+        conn.request("POST", path, body=blocks,
+                     headers={"Transfer-Encoding": "chunked"},
+                     encode_chunked=True)
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        return resp.read()
+    finally:
+        conn.close()
+
+
+@pytest.fixture(scope="module")
+def stream_server():
+    pipe = StyleTransferPipeline.init_random(TINY, seed=2)
+    srv = TransferServer(pipe, port=0, max_seconds=60.0,
+                         bucket_seconds=TINY_AUDIO.clip_seconds)
+    srv.start_background()
+    host, port = srv.address[:2]
+    yield pipe, f"{host}:{port}"
+    srv.shutdown()
+
+
+def test_stream_endpoint_matches_local_stream(stream_server):
+    """The /stream endpoint must emit exactly what a local StreamingTransfer
+    produces for the same PCM16 input (bit-identical after quantization)."""
+    from ast_tpu.eval.streaming import StreamingTransfer
+
+    pipe, host = stream_server
+    rng = np.random.default_rng(21)
+    wav = (0.2 * rng.standard_normal(3 * TINY_AUDIO.sample_rate)
+           ).astype(np.float32)
+    pcm_in = np.clip(np.round(wav * 32768.0), -32768, 32767).astype("<i2")
+    body = _stream_pcm(host, "/stream?target=violin&context=4&margin=8",
+                       pcm_in.tobytes(), chunk=1000)
+    got = np.frombuffer(body, "<i2")
+
+    local = StreamingTransfer(pipe, "violin", context_windows=4,
+                              margin_frames=8)
+    out = local.process(pcm_in.astype(np.float32) / 32768.0)
+    want = np.clip(np.round(out * 32768.0), -32768, 32767).astype("<i2")
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_endpoint_incremental(stream_server):
+    """Output bytes must arrive BEFORE the request body is finished — the
+    defining property of a streaming endpoint."""
+    import socket
+
+    pipe, host = stream_server
+    h, p = host.split(":")
+    rng = np.random.default_rng(22)
+    sr = TINY_AUDIO.sample_rate
+    wav = (0.2 * rng.standard_normal(4 * sr)).astype(np.float32)
+    pcm = np.clip(np.round(wav * 32768.0), -32768, 32767).astype("<i2").tobytes()
+
+    s = socket.create_connection((h, int(p)), timeout=120)
+    try:
+        s.sendall(b"POST /stream?target=piano&context=4&margin=8 HTTP/1.1\r\n"
+                  b"Host: x\r\nTransfer-Encoding: chunked\r\n\r\n")
+        # first half of the audio: enough for several windows
+        half = pcm[: len(pcm) // 2]
+        s.sendall(f"{len(half):x}\r\n".encode() + half + b"\r\n")
+        # server should emit finalized samples for the early windows now,
+        # while we still hold the rest of the body
+        s.settimeout(120)
+        got = s.recv(65536)
+        assert b"200" in got.split(b"\r\n", 1)[0]
+        body_started = b"\r\n\r\n" in got
+        buf = got
+        while not body_started or len(buf.split(b"\r\n\r\n", 1)[1]) < 16:
+            more = s.recv(65536)
+            assert more, "connection closed before any streamed output"
+            buf += more
+            body_started = b"\r\n\r\n" in buf
+        # now finish the request
+        rest = pcm[len(pcm) // 2:]
+        s.sendall(f"{len(rest):x}\r\n".encode() + rest + b"\r\n0\r\n\r\n")
+        s.settimeout(120)
+        while b"0\r\n\r\n" not in buf[-1024:]:
+            more = s.recv(65536)
+            if not more:
+                break
+            buf += more
+    finally:
+        s.close()
+
+
+def test_stream_endpoint_too_short(stream_server):
+    """A stream shorter than one window terminates cleanly with an empty
+    chunked body (the 200 header is already committed)."""
+    _, host = stream_server
+    body = _stream_pcm(host, "/stream?target=violin&context=4&margin=8",
+                       b"\x00\x00" * 32)
+    assert body == b""
+
+
+def test_stream_endpoint_bad_target(stream_server):
+    import http.client
+
+    _, host = stream_server
+    conn = http.client.HTTPConnection(host, timeout=60)
+    try:
+        conn.request("POST", "/stream?target=guitar", body=b"\x00\x00" * 100,
+                     headers={"Content-Length": "200"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"unknown target" in resp.read()
+    finally:
+        conn.close()
