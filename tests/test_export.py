@@ -1,0 +1,104 @@
+"""AOT deployment artifact tests (ast_tpu/export.py): export the fused
+transfer program with jax.export, reload it, and run it with no model code.
+
+The reference requires its full model source + hand-wired checkpoint loading
+for inference (evaluation_style_transfer.py:214-252); the artifact makes the
+serving host model-code-free."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ast_tpu.eval import StyleTransferPipeline
+from ast_tpu.export import export_pipeline, load_exported
+from tests.test_inference import TINY, TINY_AUDIO
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    pipe = StyleTransferPipeline.init_random(TINY, seed=3)
+    path = str(tmp_path_factory.mktemp("exported"))
+    export_pipeline(pipe, path,
+                    bucket_seconds=(TINY_AUDIO.clip_seconds,
+                                    2 * TINY_AUDIO.clip_seconds))
+    return pipe, path
+
+
+def test_exported_matches_pipeline(artifact):
+    """The exported program must reproduce the live pipeline bit-for-bit on
+    the same platform (same trace, same params)."""
+    pipe, path = artifact
+    exp = load_exported(path)
+    rng = np.random.default_rng(11)
+    wav = (0.2 * rng.standard_normal(TINY_AUDIO.clip_samples)
+           ).astype(np.float32)
+    got = exp.transfer(wav, "violin")
+    want = pipe.transfer(wav, "violin")
+    np.testing.assert_array_equal(got, want)
+    # the other target must route through the class-embedding table
+    got_p = exp.transfer(wav, "piano")
+    assert not np.allclose(got, got_p)
+
+
+def test_exported_bucket_padding(artifact):
+    """A short clip pads to the smallest fitting bucket and trims back to its
+    own istft length — same semantics as transfer_any_length."""
+    pipe, path = artifact
+    exp = load_exported(path)
+    rng = np.random.default_rng(12)
+    hop = TINY_AUDIO.hop_length
+    n = TINY_AUDIO.clip_samples - 3 * hop - 7
+    wav = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    got = exp.transfer(wav, "piano")
+    assert got.shape == (hop * (n // hop),)
+    want = pipe.transfer_any_length(wav, "piano",
+                                    bucket_seconds=TINY_AUDIO.clip_seconds)
+    np.testing.assert_array_equal(got, want)
+    # a clip using the second bucket
+    n2 = int(1.5 * TINY_AUDIO.clip_samples)
+    wav2 = (0.2 * rng.standard_normal(n2)).astype(np.float32)
+    out2 = exp.transfer(wav2, "piano")
+    assert out2.shape == (hop * (n2 // hop),)
+    assert np.isfinite(out2).all()
+
+
+def test_exported_rejects_oversized_and_unknown(artifact):
+    _, path = artifact
+    exp = load_exported(path)
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        exp.process_audio(np.zeros(3 * TINY_AUDIO.clip_samples, np.float32), 1)
+    with pytest.raises(KeyError):
+        exp.transfer(np.zeros(64, np.float32), "guitar")
+
+
+def test_exported_runs_without_model_code(artifact):
+    """The load path must not import flax or any ast_tpu model/eval module —
+    the whole point of the artifact is a model-code-free serving host."""
+    _, path = artifact
+    code = f"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import numpy as np
+from ast_tpu.export import load_exported
+exp = load_exported({path!r})
+wav = np.zeros({int(TINY_AUDIO.clip_samples)}, np.float32)
+out = exp.transfer(wav, "violin")
+assert out.shape[0] > 0 and np.isfinite(out).all()
+banned = [m for m in sys.modules
+          if m.startswith("flax") or m.startswith("ast_tpu.models")
+          or m.startswith("ast_tpu.eval")]
+assert not banned, f"model code imported on the load path: {{banned}}"
+print("OK", out.shape[0])
+"""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600, env=env)
+    assert res.returncode == 0, res.stderr
+    assert res.stdout.startswith("OK")
