@@ -41,23 +41,14 @@ NAME_TO_ID = {"piano": 0, "violin": 1}
 # device compute) bounds serving throughput, so bytes on the wire ARE the
 # latency: f32 = 4 B/sample (lossless), pcm16 = 2 B/sample (lossless when the
 # endpoints are 16-bit PCM anyway — the serving default), mulaw8 = 1 B/sample
-# (G.711-style companding, ~38 dB SNR: opt-in, quality tradeoff).
+# (G.711-style companding, ~38 dB SNR: opt-in, quality tradeoff). The
+# host-side numpy codecs live in ast_tpu/wire.py (shared with the
+# model-code-free export path); only the device-side jnp twins live here.
 
-_MU = 255.0
-
-
-def mulaw_encode_np(x: np.ndarray) -> np.ndarray:
-    """float [-1,1] -> uint8 mu-law code."""
-    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
-    v = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
-    return np.clip(np.round((v + 1.0) * 127.5), 0, 255).astype(np.uint8)
-
-
-def mulaw_decode_np(u: np.ndarray) -> np.ndarray:
-    """uint8 mu-law code -> float [-1,1]."""
-    v = np.asarray(u, np.float32) / 127.5 - 1.0
-    return (np.sign(v) * (np.power(1.0 + _MU, np.abs(v)) - 1.0)
-            / _MU).astype(np.float32)
+from ast_tpu.wire import (MU as _MU,  # noqa: E402 — host codecs, re-exported
+                          mulaw_decode_np, mulaw_encode_np,
+                          wire_decode_np as _wire_decode_np,
+                          wire_encode_np as _wire_encode_np)
 
 
 def _wire_decode_jnp(w: jnp.ndarray) -> jnp.ndarray:
@@ -78,24 +69,6 @@ def _wire_encode_jnp(x: jnp.ndarray, wire: str) -> jnp.ndarray:
         xc = jnp.clip(x, -1.0, 1.0)
         v = jnp.sign(xc) * jnp.log1p(_MU * jnp.abs(xc)) / jnp.log(1.0 + _MU)
         return jnp.clip(jnp.round((v + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
-    return x
-
-
-def _wire_encode_np(x: np.ndarray, wire: str) -> np.ndarray:
-    if wire == "pcm16":
-        if x.dtype == np.int16:
-            return x
-        return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
-    if wire == "mulaw8":
-        return x if x.dtype == np.uint8 else mulaw_encode_np(x)
-    return np.asarray(x, np.float32)
-
-
-def _wire_decode_np(x: np.ndarray) -> np.ndarray:
-    if x.dtype == np.int16:
-        return x.astype(np.float32) / 32768.0
-    if x.dtype == np.uint8:
-        return mulaw_decode_np(x)
     return x
 
 

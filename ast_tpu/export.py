@@ -15,7 +15,11 @@ bucket, alongside a flat params archive:
 The serving host needs jax + numpy only — no flax, no ast_tpu model modules
 (`tests/test_export.py` asserts flax is never imported on the load path).
 Normalization stats and all config constants are baked into the exported
-program; the artifact is self-contained and versioned.
+program; the artifact is self-contained and versioned. With
+`batch_sizes=(1, 4, 16)` the batched serving cores are exported too, and the
+HTTP daemon serves the artifact directly (`ast-tpu-serve --artifact DIR`)
+with dynamic request batching; `wire="pcm16"` bakes the compressed
+host<->device transport into the program I/O. CLI: scripts/export.py.
 
 Platform note: an exported program replays on the platform(s) it was lowered
 for. By default the current backend is used (export on the TPU host for TPU
@@ -30,9 +34,12 @@ from __future__ import annotations
 
 import json
 import os
+import types
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+from ast_tpu.wire import wire_decode_np, wire_dtype, wire_encode_np
 
 FORMAT_VERSION = 1
 _MANIFEST = "manifest.json"
@@ -73,12 +80,18 @@ def export_pipeline(
     path: str,
     bucket_seconds: Optional[Sequence[float]] = None,
     platforms: Optional[Sequence[str]] = None,
+    batch_sizes: Sequence[int] = (1,),
+    wire: str = "f32",
 ) -> str:
-    """AOT-export `pipe`'s fused single-clip transfer core.
+    """AOT-export `pipe`'s fused transfer cores.
 
-    One serialized program per length bucket (waveform zero-padded up to the
-    bucket at serve time, exactly like `transfer_any_length`), plus the
-    folded inference params. Returns `path`.
+    One serialized program per (length bucket, batch size) — waveforms are
+    zero-padded up to the bucket at serve time, exactly like
+    `transfer_any_length`, and batch sizes > 1 export the batched core so the
+    HTTP daemon's dynamic batcher can coalesce requests against the artifact.
+    `wire` bakes the host<->device transport ("f32"/"pcm16"/"mulaw8") into
+    the programs' I/O dtypes. Also writes the folded inference params.
+    Returns `path`.
     """
     import jax
     from jax import export as jexport
@@ -90,6 +103,10 @@ def export_pipeline(
         bucket_seconds = (a.clip_seconds,)
     buckets = sorted({max(1, int(round(s * a.sample_rate)))
                       for s in bucket_seconds})
+    rungs = sorted({int(b) for b in batch_sizes})
+    if not rungs or rungs[0] < 1:
+        raise ValueError(f"batch_sizes must be >= 1, got {batch_sizes}")
+    wdt = wire_dtype(wire)
     overlap = int(a.eval_overlap_frames)
 
     content_vars = jax.tree.map(np.asarray, pipe.content_vars_infer)
@@ -98,6 +115,10 @@ def export_pipeline(
 
     os.makedirs(path, exist_ok=True)
     core = pipe._build_core(mesh=None)
+    # Pallas custom calls would serialize as opaque platform-pinned blobs;
+    # the batched core is exported with the plain XLA block0 path.
+    batch_core = (pipe._build_batch_core(allow_fused_block0=False)
+                  if any(b > 1 for b in rungs) else None)
 
     def specs(tree):
         return jax.tree.map(
@@ -106,20 +127,32 @@ def export_pipeline(
 
     entries = []
     for n in buckets:
-        def fn(cv, dv, ce, waveform, target_id, _n=n):
-            return core(waveform, ce, target_id, cv, dv,
-                        n_samples=_n, overlap=overlap, out_wire="f32")
+        for b in rungs:
+            if b == 1:
+                def fn(cv, dv, ce, waveform, target_id, _n=n):
+                    return core(waveform, ce, target_id, cv, dv,
+                                n_samples=_n, overlap=overlap, out_wire=wire)
 
-        exp = jexport.export(
-            jax.jit(fn),
-            platforms=tuple(platforms) if platforms else None,
-        )(specs(content_vars), specs(decoder_vars), specs(class_emb),
-          jax.ShapeDtypeStruct((n,), np.float32),
-          jax.ShapeDtypeStruct((), np.int32))
-        fname = f"transfer_{n}.jaxexp"
-        with open(os.path.join(path, fname), "wb") as f:
-            f.write(exp.serialize())
-        entries.append({"n_samples": n, "file": fname})
+                in_specs = (jax.ShapeDtypeStruct((n,), wdt),
+                            jax.ShapeDtypeStruct((), np.int32))
+                fname = f"transfer_{n}.jaxexp"
+            else:
+                def fn(cv, dv, ce, waveforms, target_ids, _n=n):
+                    return batch_core(waveforms, ce, target_ids, cv, dv,
+                                      n_samples=_n, overlap=overlap,
+                                      out_wire=wire)
+
+                in_specs = (jax.ShapeDtypeStruct((b, n), wdt),
+                            jax.ShapeDtypeStruct((b,), np.int32))
+                fname = f"transfer_{n}_b{b}.jaxexp"
+            exp = jexport.export(
+                jax.jit(fn),
+                platforms=tuple(platforms) if platforms else None,
+            )(specs(content_vars), specs(decoder_vars), specs(class_emb),
+              *in_specs)
+            with open(os.path.join(path, fname), "wb") as f:
+                f.write(exp.serialize())
+            entries.append({"n_samples": n, "batch": b, "file": fname})
 
     flat = {}
     flat.update({f"content/{k}": v
@@ -136,6 +169,7 @@ def export_pipeline(
         "sample_rate": a.sample_rate,
         "hop_length": a.hop_length,
         "overlap_frames": overlap,
+        "wire": wire,
         "targets": dict(NAME_TO_ID),
         "buckets": entries,
     }
@@ -150,9 +184,18 @@ def export_pipeline(
 
 class ExportedPipeline:
     """Run an exported transfer artifact. Deserialized programs are cached
-    per bucket; `transfer` pads the waveform to the smallest fitting bucket
-    and trims the output back (same semantics as
-    StyleTransferPipeline.transfer_any_length)."""
+    per (bucket, batch); `transfer` pads the waveform to the smallest fitting
+    bucket and trims the output back (same semantics as
+    StyleTransferPipeline.transfer_any_length).
+
+    Duck-types the narrow interface `ast_tpu.serve.TransferServer` needs
+    (`cfg.audio.{sample_rate,hop_length}`, `process_audio`,
+    `process_audio_batch`, `targets`) so the HTTP daemon can serve straight
+    from the artifact on a model-code-free host (`ast-tpu-serve --artifact`).
+    Live PCM streaming needs the incremental model step and stays on the
+    full pipeline (`supports_streaming = False`)."""
+
+    supports_streaming = False
 
     def __init__(self, path: str):
         self.path = path
@@ -172,39 +215,90 @@ class ExportedPipeline:
              if k.startswith("decoder/")})
         self._class_emb = flat["class_embeddings"]
         self.targets: Dict[str, int] = self.manifest["targets"]
-        self.buckets: Tuple[int, ...] = tuple(
-            e["n_samples"] for e in self.manifest["buckets"])
-        self._files = {e["n_samples"]: e["file"]
+        self.wire: str = self.manifest.get("wire", "f32")
+        self._files = {(e["n_samples"], e.get("batch", 1)): e["file"]
                        for e in self.manifest["buckets"]}
+        self.buckets: Tuple[int, ...] = tuple(sorted(
+            {n for n, b in self._files if b == 1}))
+        # minimal cfg shim for the HTTP daemon (bucket padding + wav I/O)
+        self.cfg = types.SimpleNamespace(audio=types.SimpleNamespace(
+            sample_rate=self.manifest["sample_rate"],
+            hop_length=self.manifest["hop_length"]))
         self._calls: dict = {}
 
-    def _call(self, n_samples: int):
-        if n_samples not in self._calls:
+    def batch_rungs(self, n_samples: Optional[int] = None) -> Tuple[int, ...]:
+        """Exported batch sizes (for a bucket, or across the artifact)."""
+        return tuple(sorted({b for n, b in self._files
+                             if n_samples is None or n == n_samples}))
+
+    def _call(self, n_samples: int, batch: int = 1):
+        key = (n_samples, batch)
+        if key not in self._calls:
             import jax
             from jax import export as jexport
 
-            with open(os.path.join(self.path, self._files[n_samples]),
-                      "rb") as f:
+            with open(os.path.join(self.path, self._files[key]), "rb") as f:
                 exp = jexport.deserialize(bytearray(f.read()))
-            self._calls[n_samples] = jax.jit(exp.call)
-        return self._calls[n_samples]
+            self._calls[key] = jax.jit(exp.call)
+        return self._calls[key]
 
-    def process_audio(self, waveform: np.ndarray,
-                      target_class_id: int) -> np.ndarray:
+    def _check_wire(self, wire: Optional[str]) -> str:
+        if wire is not None and wire != self.wire:
+            raise ValueError(
+                f"artifact was exported with wire={self.wire!r}; cannot "
+                f"serve wire={wire!r} (re-export with wire={wire!r})")
+        return self.wire
+
+    def process_audio(self, waveform: np.ndarray, target_class_id: int,
+                      wire: Optional[str] = None) -> np.ndarray:
         """Transfer a waveform no longer than the largest bucket; returns the
-        istft-length output for the padded bucket (like process_audio on a
-        padded clip)."""
-        wav = np.asarray(waveform, np.float32).reshape(-1)
+        float istft-length output for the padded bucket (like process_audio
+        on a padded clip)."""
+        w = self._check_wire(wire)
+        wav = wire_decode_np(np.asarray(waveform)).reshape(-1)
         fitting = [b for b in self.buckets if b >= len(wav)]
         if not fitting:
             raise ValueError(
                 f"waveform of {len(wav)} samples exceeds the largest exported "
                 f"bucket ({max(self.buckets)}); re-export with a larger one")
         n = min(fitting)
-        padded = np.pad(wav, (0, n - len(wav)))
+        padded = wire_encode_np(
+            np.pad(wav.astype(np.float32), (0, n - len(wav))), w)
         out = self._call(n)(self._content, self._decoder, self._class_emb,
                             padded, np.int32(target_class_id))
-        return np.asarray(out)
+        return wire_decode_np(np.asarray(out))
+
+    def process_audio_batch(self, waveforms: np.ndarray, target_class_ids,
+                            wire: Optional[str] = None) -> np.ndarray:
+        """Transfer a (B, n) batch in one device call. n must be an exported
+        bucket; B rounds up to the smallest exported batch rung (rows are
+        zero-padded and trimmed back). Returns float waveforms."""
+        w = self._check_wire(wire)
+        arr = wire_encode_np(np.asarray(waveforms), w)
+        if arr.ndim != 2:
+            raise ValueError(f"expected (B, n) batch, got shape {arr.shape}")
+        B, n = arr.shape
+        rungs = [b for b in self.batch_rungs(n) if b >= B]
+        if (n, 1) not in self._files and not rungs:
+            raise ValueError(
+                f"no exported program for bucket {n}; available buckets "
+                f"{self.buckets}")
+        if not rungs:
+            raise ValueError(
+                f"batch {B} exceeds the largest exported rung "
+                f"{max(self.batch_rungs(n))} for bucket {n}; re-export with "
+                f"a larger batch size")
+        b = min(rungs)
+        if b == 1 and B == 1:
+            return self.process_audio(arr[0], int(np.asarray(
+                target_class_ids).reshape(-1)[0]), wire=wire)[None]
+        padded = np.zeros((b, n), arr.dtype)
+        padded[:B] = arr
+        ids = np.zeros(b, np.int32)
+        ids[:B] = np.asarray(target_class_ids, np.int32).reshape(-1)
+        out = self._call(n, b)(self._content, self._decoder, self._class_emb,
+                               padded, ids)
+        return wire_decode_np(np.asarray(out)[:B])
 
     def transfer(self, waveform: np.ndarray, target: str) -> np.ndarray:
         """transfer(waveform, 'violin'|'piano') -> waveform, trimmed to the

@@ -40,7 +40,12 @@ import numpy as np
 
 from ast_tpu.config import Config
 from ast_tpu.data.audio_io import load_audio_probed, write_wav
-from ast_tpu.eval.inference import NAME_TO_ID, StyleTransferPipeline
+from ast_tpu.wire import wire_encode_np
+
+# NOTE: model code (flax, ast_tpu.eval/.models) is imported lazily — with
+# `--artifact` the daemon serves a jax.export'd program on a host that has
+# no model code at all (ast_tpu/export.py), so nothing here may import it
+# at module scope.
 
 
 class _Request:
@@ -68,7 +73,7 @@ class _Batcher:
     relay-attached chip. Capability extension over the reference's strictly
     sequential per-clip loop (evaluation_style_transfer.py:309-340)."""
 
-    def __init__(self, pipe: StyleTransferPipeline, device_lock: threading.Lock,
+    def __init__(self, pipe, device_lock: threading.Lock,
                  window_ms: float = 8.0, ladder: Sequence[int] = (1, 4, 16),
                  wire: str = "pcm16"):
         self.pipe = pipe
@@ -132,8 +137,6 @@ class _Batcher:
             # device compute) bounds serving throughput. "pcm16" (default)
             # is lossless vs the 16-bit PCM request/response bodies;
             # "mulaw8" halves bytes again at ~38 dB SNR (opt-in).
-            from ast_tpu.eval.inference import _wire_encode_np
-
             with self.device_lock:
                 if len(group) == 1:
                     # reuses the single-clip bucket program warmup compiled
@@ -143,13 +146,13 @@ class _Batcher:
                     group[0].out = np.asarray(out)
                 else:
                     B = next(b for b in self.ladder if b >= len(group))
-                    enc0 = _wire_encode_np(group[0].wav, self.wire)
+                    enc0 = wire_encode_np(group[0].wav, self.wire)
                     wavs = np.zeros((B,) + enc0.shape, enc0.dtype)
                     ids = np.zeros(B, np.int32)
                     wavs[0] = enc0
                     ids[0] = group[0].target_id
                     for i, r in enumerate(group[1:], start=1):
-                        wavs[i] = _wire_encode_np(r.wav, self.wire)
+                        wavs[i] = wire_encode_np(r.wav, self.wire)
                         ids[i] = r.target_id
                     outs = self.pipe.process_audio_batch(wavs, ids,
                                                          wire=self.wire)
@@ -170,14 +173,21 @@ class TransferServer:
     in it); `bucket_seconds` is the static-shape bucket granularity.
     """
 
-    def __init__(self, pipe: StyleTransferPipeline, host: str = "127.0.0.1",
+    def __init__(self, pipe, host: str = "127.0.0.1",
                  port: int = 0, max_seconds: float = 300.0,
                  bucket_seconds: float = 5.0, batch_window_ms: float = 8.0,
                  batch_ladder: Sequence[int] = (1, 4, 16),
-                 wire: str = "pcm16"):
+                 wire: str = "pcm16", artifact: Optional[str] = None):
         self.pipe = pipe
         self.max_seconds = float(max_seconds)
         self.bucket_seconds = float(bucket_seconds)
+        self.artifact = artifact
+        targets = getattr(pipe, "targets", None)
+        if targets is None:
+            from ast_tpu.eval.inference import NAME_TO_ID
+
+            targets = NAME_TO_ID
+        self.targets = dict(targets)
         self._device_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._batcher = _Batcher(pipe, self._device_lock,
@@ -199,11 +209,23 @@ class TransferServer:
         self.httpd = _Server((host, port), handler)
 
     def _bucket_pad(self, wav: np.ndarray) -> np.ndarray:
-        """Zero-pad to the next static-shape bucket boundary."""
-        sr = self.pipe.cfg.audio.sample_rate
-        bucket = max(1, int(self.bucket_seconds * sr))
+        """Zero-pad to the next static-shape bucket boundary. An exported
+        pipeline (jax.export artifact) has a FIXED set of compiled buckets —
+        pad to the smallest fitting one; the live pipeline compiles any
+        multiple of bucket_seconds on demand."""
         n = wav.shape[-1]
-        padded_len = max(bucket, -(-n // bucket) * bucket)
+        exported = getattr(self.pipe, "buckets", None)
+        if exported:
+            fitting = [b for b in exported if b >= n]
+            if not fitting:
+                raise ValueError(
+                    f"clip of {n} samples exceeds the largest exported "
+                    f"bucket ({max(exported)})")
+            padded_len = min(fitting)
+        else:
+            sr = self.pipe.cfg.audio.sample_rate
+            bucket = max(1, int(self.bucket_seconds * sr))
+            padded_len = max(bucket, -(-n // bucket) * bucket)
         return np.pad(wav.astype(np.float32), (0, padded_len - n))
 
     def warmup(self, seconds=(10.0,), batch_sizes: Sequence[int] = (1,)) -> None:
@@ -213,11 +235,10 @@ class TransferServer:
         is one program; `batch_sizes` picks which ladder rungs to precompile
         (rung 1 = the single-clip path)."""
         sr = self.pipe.cfg.audio.sample_rate
+        any_target = min(self.targets.values())
         for s in seconds:
             wav = self._bucket_pad(np.zeros(max(1, int(float(s) * sr)),
                                             np.float32))
-            from ast_tpu.eval.inference import _wire_encode_np
-
             wire = self._batcher.wire
             for b in batch_sizes:
                 with self._device_lock:
@@ -225,10 +246,9 @@ class TransferServer:
                     # bucket compiles the program for every target; the wire
                     # format matches what the batcher ships at serve time
                     if b <= 1:
-                        self.pipe.process_audio(wav, NAME_TO_ID["violin"],
-                                                wire=wire)
+                        self.pipe.process_audio(wav, any_target, wire=wire)
                     else:
-                        enc = _wire_encode_np(
+                        enc = wire_encode_np(
                             np.zeros((b, wav.shape[-1]), np.float32), wire)
                         self.pipe.process_audio_batch(
                             enc, np.zeros(b, np.int32), wire=wire)
@@ -267,9 +287,9 @@ class TransferServer:
                       mp3_out: bool = False) -> bytes:
         """wav/mp3 bytes -> transferred wav (or mp3-192k) bytes. Raises
         ValueError on bad input."""
-        if target not in NAME_TO_ID:
+        if target not in self.targets:
             raise ValueError(f"unknown target {target!r}; "
-                             f"expected one of {sorted(NAME_TO_ID)}")
+                             f"expected one of {sorted(self.targets)}")
         a = self.pipe.cfg.audio
         with tempfile.TemporaryDirectory() as td:
             in_path = os.path.join(td, "in.audio")
@@ -296,7 +316,7 @@ class TransferServer:
             # batched device call
             n = wav.shape[-1]
             out = self._batcher.submit(self._bucket_pad(wav), n,
-                                       NAME_TO_ID[target])
+                                       self.targets[target])
             out = np.clip(out, -1.0, 1.0)
             if mp3_out:
                 from ast_tpu.data.audio_io import write_mp3
@@ -316,11 +336,16 @@ class TransferServer:
     def _stream_session(self, target: str, context: int, margin):
         """Build a per-connection StreamingTransfer (the compiled step is
         shared across connections via the pipeline's step cache)."""
+        if not getattr(self.pipe, "supports_streaming", True):
+            raise NotImplementedError(
+                "live streaming needs the incremental model step; it is not "
+                "part of an exported artifact — serve from a checkpoint for "
+                "/stream")
+        if target not in self.targets:
+            raise ValueError(f"unknown target {target!r}; "
+                             f"expected one of {sorted(self.targets)}")
         from ast_tpu.eval.streaming import StreamingTransfer
 
-        if target not in NAME_TO_ID:
-            raise ValueError(f"unknown target {target!r}; "
-                             f"expected one of {sorted(NAME_TO_ID)}")
         return StreamingTransfer(self.pipe, target, context_windows=context,
                                  margin_frames=margin)
 
@@ -333,10 +358,12 @@ class TransferServer:
             "status": "ok",
             "backend": jax.default_backend(),
             "devices": len(jax.devices()),
-            "targets": sorted(NAME_TO_ID),
+            "targets": sorted(self.targets),
             "max_seconds": self.max_seconds,
             "bucket_seconds": self.bucket_seconds,
             "mp3": mp3_supported(),
+            "streaming": bool(getattr(self.pipe, "supports_streaming", True)),
+            "artifact": self.artifact,
         }
 
     def _statsz(self) -> dict:
@@ -450,6 +477,10 @@ class TransferServer:
                     margin = (None if raw_margin in ("auto", "")
                               else int(raw_margin))
                     stream = server._stream_session(target, context, margin)
+                except NotImplementedError as e:
+                    server._record("stream", error=True)
+                    self._reject(501, {"error": str(e)})
+                    return
                 except ValueError as e:
                     server._record("stream", error=True)
                     self._reject(400, {"error": str(e)})
@@ -572,6 +603,11 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8742)
     p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--artifact", default=None, metavar="DIR",
+                   help="serve a jax.export'd artifact (scripts/export.py) "
+                        "instead of a checkpoint — needs jax+numpy only, no "
+                        "model code; wire/buckets/batch ladder come from the "
+                        "artifact manifest (/stream is unavailable)")
     p.add_argument("--max-seconds", type=float, default=300.0)
     p.add_argument("--bucket-seconds", type=float, default=5.0)
     p.add_argument("--warmup", default=None, metavar="SECONDS[,SECONDS...]",
@@ -592,25 +628,44 @@ def main(argv=None):
                         "for link-bound deployments), f32")
     args = p.parse_args(argv)
 
-    import jax
+    if args.artifact:
+        from ast_tpu.export import load_exported
 
-    from ast_tpu.eval.model_loading import load_eval_bundle
+        pipe = load_exported(args.artifact)
+        sr = pipe.cfg.audio.sample_rate
+        wire = pipe.wire
+        if wire != args.wire:
+            print(f"artifact was exported with wire={wire!r}; "
+                  f"ignoring --wire {args.wire}")
+        ladder = pipe.batch_rungs() or (1,)
+        max_seconds = min(args.max_seconds, max(pipe.buckets) / sr)
+        print(f"serving exported artifact {args.artifact} "
+              f"(buckets {[b / sr for b in pipe.buckets]}s, "
+              f"batch rungs {ladder}, wire {wire})")
+    else:
+        import jax
 
-    cfg = Config()
-    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
-    protos = bundle.class_prototypes
-    if protos is None:
-        print("No class prototypes in checkpoint; using random prototypes "
-              "(untrained-model smoke mode)")
-        protos = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.model.d_model))
-    pipe = StyleTransferPipeline.from_variables(
-        cfg, bundle.state.content, bundle.state.decoder, protos)
+        from ast_tpu.eval.inference import StyleTransferPipeline
+        from ast_tpu.eval.model_loading import load_eval_bundle
+
+        cfg = Config()
+        bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
+        protos = bundle.class_prototypes
+        if protos is None:
+            print("No class prototypes in checkpoint; using random prototypes "
+                  "(untrained-model smoke mode)")
+            protos = jax.random.normal(jax.random.PRNGKey(0),
+                                       (2, cfg.model.d_model))
+        pipe = StyleTransferPipeline.from_variables(
+            cfg, bundle.state.content, bundle.state.decoder, protos)
+        wire = args.wire
+        ladder = tuple(int(b) for b in args.batch_ladder.split(",") if b)
+        max_seconds = args.max_seconds
     server = TransferServer(
-        pipe, host=args.host, port=args.port, max_seconds=args.max_seconds,
+        pipe, host=args.host, port=args.port, max_seconds=max_seconds,
         bucket_seconds=args.bucket_seconds,
         batch_window_ms=args.batch_window_ms,
-        batch_ladder=tuple(int(b) for b in args.batch_ladder.split(",") if b),
-        wire=args.wire)
+        batch_ladder=ladder, wire=wire, artifact=args.artifact)
     if args.warmup:
         lengths = [float(s) for s in args.warmup.split(",") if s]
         rungs = tuple(int(b) for b in args.warmup_batch.split(",") if b)

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Export CLI: checkpoint -> self-contained jax.export deployment artifact.
+
+The reference has no deployment story — inference requires its full model
+source tree plus hand-wired checkpoint loading in every driver
+(evaluation_style_transfer.py:214-252). This produces a directory of
+serialized StableHLO programs + folded params that a model-code-free host
+serves with `ast-tpu-serve --artifact DIR` or runs via
+`ast_tpu.export.load_exported(DIR).transfer(wav, "violin")`.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(
+        description="Export the transfer pipeline as an AOT artifact")
+    p.add_argument("output_dir", help="artifact directory to create")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--buckets", default=None, metavar="SECONDS[,SECONDS...]",
+                   help="clip-length buckets to compile (default: the "
+                        "config clip length, e.g. 10s)")
+    p.add_argument("--batch-sizes", default="1", metavar="B[,B...]",
+                   help="batch rungs to compile per bucket (e.g. 1,4,16 to "
+                        "match the serving daemon's dynamic-batch ladder)")
+    p.add_argument("--wire", default="f32", choices=["f32", "pcm16", "mulaw8"],
+                   help="host<->device waveform transport baked into the "
+                        "programs (pcm16 halves upload bytes losslessly vs "
+                        "16-bit PCM bodies)")
+    p.add_argument("--platforms", default=None, metavar="P[,P...]",
+                   help="lowering platforms (e.g. tpu or cpu,tpu); default: "
+                        "the current backend")
+    p.add_argument("--normalize", metavar="STATS_DIR", default=None,
+                   help="bake feature normalization with training stats from "
+                        "this directory into the programs")
+    args = p.parse_args()
+
+    import jax
+
+    from ast_tpu.config import Config
+    from ast_tpu.eval.inference import StyleTransferPipeline
+    from ast_tpu.eval.model_loading import load_eval_bundle
+    from ast_tpu.export import export_pipeline
+
+    cfg = Config()
+    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
+    protos = bundle.class_prototypes
+    if protos is None:
+        print("No class prototypes in checkpoint; using random prototypes "
+              "(untrained-model smoke mode)")
+        protos = jax.random.normal(jax.random.PRNGKey(0),
+                                   (2, cfg.model.d_model))
+    stats = None
+    if args.normalize:
+        from ast_tpu.dsp.norm import load_instrument_stats
+
+        stats = load_instrument_stats(args.normalize,
+                                      use_separate_stats=False)[0]
+    pipe = StyleTransferPipeline.from_variables(
+        cfg, bundle.state.content, bundle.state.decoder, protos, stats=stats)
+
+    buckets = ([float(s) for s in args.buckets.split(",") if s]
+               if args.buckets else None)
+    batch_sizes = tuple(int(b) for b in args.batch_sizes.split(",") if b)
+    platforms = (tuple(s for s in args.platforms.split(",") if s)
+                 if args.platforms else None)
+    export_pipeline(pipe, args.output_dir, bucket_seconds=buckets,
+                    platforms=platforms, batch_sizes=batch_sizes,
+                    wire=args.wire)
+    total = sum(os.path.getsize(os.path.join(args.output_dir, f))
+                for f in os.listdir(args.output_dir))
+    n_prog = len([f for f in os.listdir(args.output_dir)
+                  if f.endswith(".jaxexp")])
+    print(f"exported {n_prog} program(s) + params to {args.output_dir} "
+          f"({total / 1e6:.1f} MB); serve with: "
+          f"ast-tpu-serve --artifact {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

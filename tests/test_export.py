@@ -5,9 +5,14 @@ The reference requires its full model source + hand-wired checkpoint loading
 for inference (evaluation_style_transfer.py:214-252); the artifact makes the
 serving host model-code-free."""
 
+import io
+import json
 import os
 import subprocess
 import sys
+import urllib.error
+import urllib.request
+import wave
 
 import numpy as np
 import pytest
@@ -72,6 +77,97 @@ def test_exported_rejects_oversized_and_unknown(artifact):
         exp.process_audio(np.zeros(3 * TINY_AUDIO.clip_samples, np.float32), 1)
     with pytest.raises(KeyError):
         exp.transfer(np.zeros(64, np.float32), "guitar")
+
+
+@pytest.fixture(scope="module")
+def batched_artifact(tmp_path_factory):
+    """pcm16-wire artifact with the batched serving core (rungs 1 and 2)."""
+    pipe = StyleTransferPipeline.init_random(TINY, seed=3)
+    path = str(tmp_path_factory.mktemp("exported_b"))
+    export_pipeline(pipe, path, bucket_seconds=(TINY_AUDIO.clip_seconds,),
+                    batch_sizes=(1, 2), wire="pcm16")
+    return pipe, path
+
+
+def test_exported_batched_pcm16_matches_pipeline(batched_artifact):
+    """The exported batched core must reproduce the live batched path on the
+    same platform, through the pcm16 wire both ways."""
+    pipe, path = batched_artifact
+    exp = load_exported(path)
+    assert exp.wire == "pcm16"
+    assert exp.batch_rungs() == (1, 2)
+    rng = np.random.default_rng(21)
+    wavs = (0.2 * rng.standard_normal((2, TINY_AUDIO.clip_samples))
+            ).astype(np.float32)
+    ids = np.array([0, 1], np.int32)
+    got = exp.process_audio_batch(wavs, ids)
+    want = pipe.process_audio_batch(wavs, ids, wire="pcm16")
+    np.testing.assert_array_equal(got, want)
+    # B=1 routes through the single-clip program, rows padded/trimmed
+    got1 = exp.process_audio_batch(wavs[:1], ids[:1])
+    np.testing.assert_array_equal(got1[0], exp.process_audio(wavs[0], 0))
+    # guard rails: wire mismatch and over-rung batches are explicit errors
+    with pytest.raises(ValueError, match="wire"):
+        exp.process_audio(wavs[0], 0, wire="f32")
+    with pytest.raises(ValueError, match="largest exported rung"):
+        exp.process_audio_batch(np.zeros((3, TINY_AUDIO.clip_samples),
+                                         np.float32), np.zeros(3, np.int32))
+
+
+def test_serve_from_artifact(batched_artifact):
+    """The HTTP daemon serves an exported artifact: transfer round-trips,
+    /healthz reports the artifact, /stream is 501 (needs model code)."""
+    from ast_tpu.serve import TransferServer
+
+    pipe, path = batched_artifact
+    exp = load_exported(path)
+    srv = TransferServer(exp, port=0, max_seconds=60.0,
+                         batch_ladder=exp.batch_rungs(), wire=exp.wire,
+                         artifact=path)
+    srv.start_background()
+    try:
+        host, port = srv.address[:2]
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["streaming"] is False and h["artifact"] == path
+        assert set(h["targets"]) == {"piano", "violin"}
+
+        sr = TINY_AUDIO.sample_rate
+        rng = np.random.default_rng(22)
+        wav = (0.2 * rng.standard_normal(TINY_AUDIO.clip_samples)
+               ).astype(np.float32)
+        buf = io.BytesIO()
+        pcm = np.clip(np.round(wav * 32768.0), -32768, 32767).astype("<i2")
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        req = urllib.request.Request(base + "/transfer?target=violin",
+                                     data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            body = r.read()
+        with wave.open(io.BytesIO(body), "rb") as w:
+            out = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+        # the daemon serves exactly what the artifact computes (modulo the
+        # wav body's own 16-bit quantization)
+        hop = TINY_AUDIO.hop_length
+        want = exp.process_audio(pcm.astype(np.float32) / 32768.0, 1)
+        want = np.clip(want[: hop * (len(wav) // hop)], -1.0, 1.0)
+        np.testing.assert_array_equal(
+            out, np.clip(np.round(want * 32768.0), -32768, 32767)
+            .astype(np.int16))
+
+        # live streaming needs the incremental model step -> 501
+        req = urllib.request.Request(base + "/stream?target=violin",
+                                     data=pcm.tobytes(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 501
+    finally:
+        srv.shutdown()
 
 
 def test_exported_runs_without_model_code(artifact):
