@@ -11,7 +11,7 @@ over device meshes rather than ported from the reference's single-GPU torch
 code.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 import os as _os
 
@@ -37,7 +37,7 @@ from ast_tpu.config import (
 __all__ = [
     "AudioConfig", "Config", "CurriculumSchedule", "DEFAULT_CONFIG",
     "LossWeights", "ModelConfig", "TrainConfig", "__version__",
-    "StyleTransferPipeline", "train",
+    "StyleTransferPipeline", "train", "export_pipeline", "load_exported",
 ]
 
 
@@ -52,4 +52,8 @@ def __getattr__(name):
         from ast_tpu.train.loop import train
 
         return train
+    if name in ("export_pipeline", "load_exported"):
+        from ast_tpu import export
+
+        return getattr(export, name)
     raise AttributeError(name)
