@@ -181,17 +181,28 @@ def convert_discriminator(sd: Dict) -> Dict:
     }}
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Dict]:
+def load_torch_checkpoint(path: str,
+                          decoder_codec: str = "linear") -> Dict[str, Dict]:
     """Load a reference .pth and convert all four modules. Returns
-    {'content': vars, 'style': vars, 'decoder': vars, 'disc': vars}."""
+    {'content': vars, 'style': vars, 'decoder': vars, 'disc': vars}.
+
+    `decoder_codec` selects the decoder variant stored in the checkpoint:
+    "linear" for the primary SimpleDecoder_TransformerOnly epoch-100
+    checkpoint, "conv" for the new_decoder epoch-70 one
+    (checkpoints/read.txt:3-4)."""
     import torch
 
+    if decoder_codec not in ("linear", "conv"):
+        raise ValueError(f"decoder_codec must be 'linear' or 'conv', "
+                         f"got {decoder_codec!r}")
+    convert_decoder = (convert_simple_decoder if decoder_codec == "linear"
+                       else convert_conv_decoder)
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     as_np = lambda sd: {k: v.numpy() for k, v in sd.items()}
     return {
         "content": convert_content_encoder(as_np(ckpt["content_encoder"])),
         "style": convert_style_encoder(as_np(ckpt["style_encoder"])),
-        "decoder": convert_simple_decoder(as_np(ckpt["decoder"])),
+        "decoder": convert_decoder(as_np(ckpt["decoder"])),
         "disc": convert_discriminator(as_np(ckpt["discriminator"])),
     }
 

@@ -21,6 +21,20 @@ def main():
         description="Export the transfer pipeline as an AOT artifact")
     p.add_argument("output_dir", help="artifact directory to create")
     p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--torch-checkpoint", default=None, metavar="PTH",
+                   help="export straight from a reference-format torch "
+                        "checkpoint (dict of 4 state_dicts, e.g. "
+                        "SIMPLEDECODERcheckpoint_epoch_100.pth) via the "
+                        "compat importer, instead of an orbax checkpoint")
+    p.add_argument("--codec", default="linear", choices=["linear", "conv"],
+                   help="decoder variant in the checkpoint: linear = "
+                        "SimpleDecoder_TransformerOnly (primary), conv = "
+                        "new_decoder")
+    p.add_argument("--prototype-data", default=None, metavar="DIR",
+                   help="bootstrap class prototypes from DIR/piano + "
+                        "DIR/violin (the reference's first-test-batch "
+                        "behavior — prototypes are not stored in torch "
+                        "checkpoints, SURVEY.md quirk #5)")
     p.add_argument("--buckets", default=None, metavar="SECONDS[,SECONDS...]",
                    help="clip-length buckets to compile (default: the "
                         "config clip length, e.g. 10s)")
@@ -43,15 +57,46 @@ def main():
 
     from ast_tpu.config import Config
     from ast_tpu.eval.inference import StyleTransferPipeline
-    from ast_tpu.eval.model_loading import load_eval_bundle
     from ast_tpu.export import export_pipeline
 
     cfg = Config()
-    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
-    protos = bundle.class_prototypes
+    protos = None
+    if args.torch_checkpoint:
+        from ast_tpu.compat.torch_import import load_torch_checkpoint
+
+        print(f"Converting torch checkpoint: {args.torch_checkpoint}")
+        converted = load_torch_checkpoint(args.torch_checkpoint,
+                                          decoder_codec=args.codec)
+        content_vars = converted["content"]
+        decoder_vars = converted["decoder"]
+        style_vars = converted["style"]
+    else:
+        from ast_tpu.eval.model_loading import load_eval_bundle
+
+        bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir,
+                                  codec=args.codec)
+        content_vars = bundle.state.content
+        decoder_vars = bundle.state.decoder
+        style_vars = bundle.state.style
+        protos = bundle.class_prototypes
+    if args.prototype_data:
+        import os as _os
+
+        from ast_tpu.data.dataset import DualInstrumentDataset, balanced_batches
+        from ast_tpu.eval.inference import generate_class_embeddings
+
+        ds = DualInstrumentDataset.from_dirs(
+            _os.path.join(args.prototype_data, "piano"),
+            _os.path.join(args.prototype_data, "violin"), cfg=cfg.audio)
+        sections, _ = next(iter(balanced_batches(ds, 2, shuffle=False)))
+        protos = generate_class_embeddings(cfg, style_vars,
+                                           sections[0], sections[1])
+        print(f"Bootstrapped class prototypes from {args.prototype_data} "
+              f"(batch shape {tuple(sections.shape)})")
     if protos is None:
-        print("No class prototypes in checkpoint; using random prototypes "
-              "(untrained-model smoke mode)")
+        print("No class prototypes available; using random prototypes "
+              "(untrained-model smoke mode; pass --prototype-data for the "
+              "reference's bootstrap)")
         protos = jax.random.normal(jax.random.PRNGKey(0),
                                    (2, cfg.model.d_model))
     stats = None
@@ -61,7 +106,8 @@ def main():
         stats = load_instrument_stats(args.normalize,
                                       use_separate_stats=False)[0]
     pipe = StyleTransferPipeline.from_variables(
-        cfg, bundle.state.content, bundle.state.decoder, protos, stats=stats)
+        cfg, content_vars, decoder_vars, protos, codec=args.codec,
+        stats=stats)
 
     buckets = ([float(s) for s in args.buckets.split(",") if s]
                if args.buckets else None)

@@ -109,6 +109,18 @@ def test_simple_decoder_import_parity(rng):
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_load_torch_checkpoint_codec_validation(tmp_path):
+    """load_torch_checkpoint dispatches the decoder converter by codec and
+    rejects unknown codecs before touching the file."""
+    import pytest
+
+    from ast_tpu.compat.torch_import import load_torch_checkpoint
+
+    with pytest.raises(ValueError, match="decoder_codec"):
+        load_torch_checkpoint(str(tmp_path / "absent.pth"),
+                              decoder_codec="mystery")
+
+
 def test_conv_decoder_import_shapes(rng):
     """new_decoder.py conversion: build a torch parameter set with the
     reference's Sequential layout (via torch built-ins), convert, and verify
