@@ -11,7 +11,8 @@ orbax StandardCheckpointer (async-safe, TPU-friendly)."""
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+import threading
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
 import orbax.checkpoint as ocp
@@ -19,6 +20,11 @@ import orbax.checkpoint as ocp
 from ast_tpu.train.state import TrainState
 
 CHECKPOINT_PREFIX = "checkpoint_epoch_"
+
+# at most one async save in flight (serialized device->host fetches: through
+# a relay-attached chip the fetch IS the expensive part, ~minutes for the
+# full-size 1.9 GB state — see NOTES/docs)
+_inflight: List[Tuple[threading.Thread, str, dict]] = []
 
 
 def _tree_of(state: TrainState, class_prototypes) -> dict:
@@ -36,15 +42,53 @@ def _tree_of(state: TrainState, class_prototypes) -> dict:
     }
 
 
-def save_checkpoint(directory: str, epoch: int, state: TrainState,
-                    class_prototypes=None) -> str:
-    """Save to {directory}/checkpoint_epoch_{epoch} (reference naming,
-    checkpoints/read.txt)."""
-    path = os.path.abspath(os.path.join(directory, f"{CHECKPOINT_PREFIX}{epoch}"))
+def _write(path: str, tree: dict) -> None:
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, _tree_of(state, class_prototypes), force=True)
+    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+
+
+def save_checkpoint(directory: str, epoch: int, state: TrainState,
+                    class_prototypes=None, block: bool = True) -> str:
+    """Save to {directory}/checkpoint_epoch_{epoch} (reference naming,
+    checkpoints/read.txt).
+
+    `block=False` runs the device->host fetch + write on a background thread
+    so training keeps stepping during the save (jax arrays are immutable and
+    the train step donates nothing, so the captured state stays valid). At
+    most one save is in flight — a second non-blocking save first waits for
+    the previous one; call `wait_for_checkpoints()` before reading the files
+    or exiting."""
+    path = os.path.abspath(os.path.join(directory, f"{CHECKPOINT_PREFIX}{epoch}"))
+    tree = _tree_of(state, class_prototypes)
+    if block:
+        wait_for_checkpoints()  # keep epoch ordering with any async save
+        _write(path, tree)
+        return path
+    wait_for_checkpoints()
+    holder: dict = {}
+
+    def _guarded():
+        try:
+            _write(path, tree)
+        except BaseException as e:  # noqa: BLE001 — re-raised at wait
+            holder["error"] = e
+
+    t = threading.Thread(target=_guarded, name=f"ckpt-save-{epoch}",
+                         daemon=True)
+    t.start()
+    _inflight.append((t, path, holder))
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Join any in-flight async save; re-raises its failure."""
+    while _inflight:
+        t, path, holder = _inflight.pop(0)
+        t.join()
+        if "error" in holder:
+            raise RuntimeError(
+                f"async checkpoint save to {path} failed") from holder["error"]
 
 
 def load_checkpoint(path: str, template: TrainState,

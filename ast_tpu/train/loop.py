@@ -17,7 +17,8 @@ import jax
 
 from ast_tpu.config import Config
 from ast_tpu.data.pipeline import prefetch
-from ast_tpu.train.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from ast_tpu.train.checkpoint import (latest_checkpoint, load_checkpoint,
+                                      save_checkpoint, wait_for_checkpoints)
 from ast_tpu.train.state import Models, TrainState, init_state
 from ast_tpu.train.step import curriculum_scalars, make_train_step
 
@@ -34,6 +35,7 @@ def train(
     metrics_dir: Optional[str] = None,
     mesh=None,
     reference_init: bool = False,
+    async_checkpoint: bool = True,
 ) -> TrainState:
     """Run cfg.train.num_epochs epochs. `batch_iter_factory(epoch)` yields
     (x (B,S,2,W,F), labels (B,)) balanced batches.
@@ -130,7 +132,12 @@ def train(
                 proto_fn = jax.jit(lambda v, xx, ll: style.apply(v, xx, ll)[1])
             protos = proto_fn(state.style, x, labels)
             last_protos = protos
-            path = save_checkpoint(checkpoint_dir, epoch + 1, state, protos)
-            log(f"checkpoint saved: {path}")
+            # async (default): the device->host fetch + write run on a
+            # background thread while the next epochs keep stepping — a
+            # full-size save is minutes through a relay-attached chip
+            path = save_checkpoint(checkpoint_dir, epoch + 1, state, protos,
+                                   block=not async_checkpoint)
+            log(f"checkpoint {'saving (async)' if async_checkpoint else 'saved'}: {path}")
 
+    wait_for_checkpoints()
     return state

@@ -28,6 +28,10 @@ def main():
                    help="bfloat16 forward compute (losses stay f32); ~2-3x "
                         "training throughput")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--sync-checkpoint", action="store_true",
+                   help="block training during orbax saves (default: the "
+                        "device->host fetch + write run on a background "
+                        "thread while training keeps stepping)")
     args = p.parse_args()
 
     import dataclasses
@@ -54,7 +58,8 @@ def main():
           checkpoint_dir=args.checkpoint_dir,
           resume=not args.no_resume,
           codec=args.codec,
-          sections_per_clip=S)
+          sections_per_clip=S,
+          async_checkpoint=not args.sync_checkpoint)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,39 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_checkpoint_async_save(tmp_path):
+    """block=False saves on a background thread; wait_for_checkpoints joins
+    it and the file round-trips. A failing async save surfaces at the wait
+    (not silently)."""
+    from ast_tpu.train.checkpoint import save_checkpoint as save
+    from ast_tpu.train.checkpoint import wait_for_checkpoints
+
+    cfg = TINY
+    models = Models.create(cfg)
+    state = init_state(cfg, models, jax.random.PRNGKey(2), sections_per_clip=2)
+    protos = np.full((2, cfg.model.d_model), 2.0, np.float32)
+    path = save(str(tmp_path), 7, state, protos, block=False)
+    wait_for_checkpoints()
+    template = init_state(cfg, models, jax.random.PRNGKey(3),
+                          sections_per_clip=2)
+    restored, protos_r = load_checkpoint(
+        path, template, class_prototypes_shape=(2, cfg.model.d_model))
+    np.testing.assert_allclose(np.asarray(protos_r), protos)
+    for x, y in zip(jax.tree.leaves(state.style["params"]),
+                    jax.tree.leaves(restored.style["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # error propagation: make the target un-creatable (the parent
+    # "directory" is a file, so the checkpoint dir cannot be created)
+    blocker = tmp_path / "blocked"
+    blocker.write_text("not a directory")
+    import pytest
+
+    save(str(blocker), 9, state, protos, block=False)
+    with pytest.raises(RuntimeError, match="async checkpoint save"):
+        wait_for_checkpoints()
+
+
 def test_eval_bundle_uses_checkpoint_prototypes(tmp_path):
     cfg = TINY
     models = Models.create(cfg)
