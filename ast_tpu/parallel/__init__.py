@@ -7,6 +7,10 @@ from ast_tpu.parallel.distributed import (
     local_batch_slice,
     process_info,
 )
+from ast_tpu.parallel.pipeline import (
+    pipelined_decoder_forward,
+    stack_layer_params,
+)
 from ast_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -23,4 +27,5 @@ __all__ = [
     "process_info",
     "DATA_AXIS", "MODEL_AXIS", "batch_sharding", "make_mesh",
     "param_sharding", "replicated", "shard_tree", "shard_variables",
+    "pipelined_decoder_forward", "stack_layer_params",
 ]
