@@ -29,8 +29,8 @@ import torch
 import jax.numpy as jnp
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available")]
 if REFERENCE not in sys.path:
     sys.path.insert(0, REFERENCE)
 

@@ -76,6 +76,7 @@ def test_style_transfer_driver(fixture_dir, tmp_path):
     assert "Chroma Similarity" in body
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = TINY
     models = Models.create(cfg)
@@ -95,6 +96,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_checkpoint_async_save(tmp_path):
     """block=False saves on a background thread; wait_for_checkpoints joins
     it and the file round-trips. A failing async save surfaces at the wait
@@ -128,6 +130,7 @@ def test_checkpoint_async_save(tmp_path):
         wait_for_checkpoints()
 
 
+@pytest.mark.slow
 def test_eval_bundle_uses_checkpoint_prototypes(tmp_path):
     cfg = TINY
     models = Models.create(cfg)
@@ -139,6 +142,7 @@ def test_eval_bundle_uses_checkpoint_prototypes(tmp_path):
     np.testing.assert_allclose(np.asarray(bundle.class_prototypes), protos)
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(fixture_dir, tmp_path):
     """One real epoch: wav fixture -> balanced batches -> train -> checkpoint."""
     from ast_tpu.data.dataset import DualInstrumentDataset, balanced_batches

@@ -6,6 +6,7 @@ ISTFT -> waveform) in one jitted call, mirroring the reference process_audio
 import dataclasses
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ast_tpu.config import AudioConfig, Config, ModelConfig
@@ -223,6 +224,7 @@ def test_transfer_stream_matches_batch(audio_clip):
     np.testing.assert_allclose(np.stack(got), expected, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_block0_pipeline_matches(audio_clip):
     """fused_block0="on" (Pallas kernel, interpret mode on CPU) must match
     the XLA conv path through the whole pipeline to bf16-conv accuracy."""
@@ -240,6 +242,7 @@ def test_fused_block0_pipeline_matches(audio_clip):
     assert np.abs(a - b).max() / scale < 2e-2, np.abs(a - b).max() / scale
 
 
+@pytest.mark.slow
 def test_block0_xla_pipeline_matches(audio_clip):
     """fused_block0="xla" (folded-weight XLA rewrite) must match the flax
     conv path through the whole pipeline at fp32 accuracy."""
@@ -257,6 +260,7 @@ def test_block0_xla_pipeline_matches(audio_clip):
     assert np.abs(a - b).max() / scale < 1e-4, np.abs(a - b).max() / scale
 
 
+@pytest.mark.slow
 def test_fused_block0_runtime_fallback(audio_clip, monkeypatch):
     """If the fused block0 kernel fails at run time (Mosaic lowering or a
     worker fault on some toolchains), the pipeline must self-disable it,

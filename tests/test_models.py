@@ -142,7 +142,8 @@ def test_discriminator_forward():
     assert out.shape == (4, 2)
 
 
-@pytest.mark.parametrize("codec", ["linear", "conv"])
+@pytest.mark.parametrize("codec", [
+    "linear", pytest.param("conv", marks=pytest.mark.slow)])
 def test_decoder_teacher_forced(codec):
     rng = np.random.default_rng(2)
     B, S = 2, 3

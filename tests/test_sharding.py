@@ -4,6 +4,7 @@ train step and tensor-parallel codec sharding compile and execute."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -58,6 +59,7 @@ def test_codec_param_sharding_rule():
     assert shardings["content_proj"]["kernel"].spec == P()
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step(rng):
     cfg = TINY_CFG
     models = Models.create(cfg)
@@ -104,6 +106,7 @@ def test_tensor_parallel_codec_forward(rng):
     np.testing.assert_allclose(out, expected, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mesh_aware_train_loop(rng, tmp_path):
     """train() with a mesh: full epoch on the 8-device CPU mesh."""
     import os
@@ -134,6 +137,7 @@ def test_mesh_aware_train_loop(rng, tmp_path):
     assert int(state.step) >= 1
 
 
+@pytest.mark.slow
 def test_sharded_batch_inference(rng):
     """Data-parallel serving path: process_audio_batch_sharded on the 8-device
     mesh matches the single-device batch path, including batch padding (B=5
@@ -166,6 +170,7 @@ def test_sharded_batch_inference(rng):
     np.testing.assert_allclose(out_tp, expected, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sequence_parallel_long_clip(rng):
     """Sequence-parallel single-clip path: process_audio_sp shards the
     window axis S of ONE long clip across the mesh's data axis (GSPMD

@@ -165,6 +165,7 @@ def _causal_oracle_windows(pipe, wav, K):
 
 
 @pytest.mark.parametrize("feedback", ["raw", "reencode"])
+@pytest.mark.slow
 def test_stream_matches_causal_oracle(wav, feedback):
     """Window-by-window equality with the causal oracle while the context
     ring has not slid. The signal is zero-padded at both ends by the

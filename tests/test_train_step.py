@@ -87,6 +87,7 @@ def test_curriculum_schedule():
     assert set(scal) == {"contrastive", "hsic", "adversarial"}
 
 
+@pytest.mark.slow
 def test_grad_accum_step(rng):
     from ast_tpu.train.step import make_grad_accum_train_step
 
@@ -109,6 +110,7 @@ def test_grad_accum_step(rng):
                for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_train_step_conv_codec(rng):
     """The second decoder family (new_decoder conv codec) trains too."""
     cfg = TINY_CFG
