@@ -227,6 +227,12 @@ class TrainConfig:
     seed: int = 0
     # mesh axis sizes; (n, 1) = pure data parallel
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
+    # Pipeline-parallel decoder-stack training: > 1 routes the decoder
+    # core's teacher-forced forward through the GPipe microbatched pipeline
+    # (parallel/pipeline.py) over a mesh "pipe" axis of this size. Requires
+    # model.num_layers % pipe_stages == 0 and a mesh carrying a "pipe" axis
+    # passed to make_train_step. 1 = the monolithic (sequential) core.
+    pipe_stages: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -253,25 +253,36 @@ class Decoder(nn.Module):
     # ---- teacher-forced training path (reference: SimpleDecoder…:80-100) ----
 
     def __call__(self, content_emb, class_emb, y=None, target_length=None,
-                 train: bool = False):
+                 train: bool = False, core_fn=None):
         memory = self.prepare_memory(content_emb, class_emb, train=train)
         if y is not None and train:
-            return self.forward_training(y, memory, train=train)
+            return self.forward_training(y, memory, train=train,
+                                         core_fn=core_fn)
         if y is not None:
             # eval-mode teacher forcing (used by reconstruction eval)
-            return self.forward_training(y, memory, train=False)
+            return self.forward_training(y, memory, train=False,
+                                         core_fn=core_fn)
         raise ValueError(
             "autoregressive inference goes through ast_tpu.models.decoder."
             "autoregressive_decode (lax.scan KV-cache path), not __call__")
 
-    def forward_training(self, y, memory, train: bool = False):
+    def forward_training(self, y, memory, train: bool = False, core_fn=None):
+        """core_fn, when given, replaces self.core's sequential stack with an
+        externally-parallelized implementation of the same math — the
+        pipeline-parallel training path (parallel/pipeline.py) passes the
+        GPipe forward here so pre/post-core pieces (codec, shift, PE, norms)
+        stay inside this module's variable scope."""
         B, S = y.shape[:2]
         y_emb = self.frame_codec.encode(y, train=train)  # (B, S, d)
         start = jnp.broadcast_to(self.start_token.astype(y_emb.dtype),
                                  (B, 1, self.cfg.d_model))
         y_shift = jnp.concatenate([start, y_emb[:, :-1, :]], axis=1)
         y_shift = self.input_norm(self.pos(y_shift))
-        dec = self.core(y_shift, memory, causal_mask(S), deterministic=not train)
+        if core_fn is None:
+            dec = self.core(y_shift, memory, causal_mask(S),
+                            deterministic=not train)
+        else:
+            dec = core_fn(y_shift, memory)
         return self.generate_output(dec, train=train)
 
     # ---- KV-cache decode pieces (called via .apply inside lax.scan) ----

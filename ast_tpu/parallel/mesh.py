@@ -83,11 +83,16 @@ def _codec_spec(path_names, leaf) -> P:
 
 def param_sharding(tree: Any, mesh: Mesh):
     """NamedSharding pytree for module variables: codec projections go
-    tensor-parallel on "model", the rest replicates."""
+    tensor-parallel on "model", the rest replicates. On a mesh without a
+    "model" axis (e.g. the ("data","pipe") pipeline-training mesh)
+    everything replicates — pipeline stages consume weights through the
+    shard_map in parallel/pipeline.py, not through these shardings."""
+    has_model = MODEL_AXIS in mesh.axis_names
 
     def spec_for(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        return NamedSharding(mesh, _codec_spec(names, leaf))
+        spec = _codec_spec(names, leaf) if has_model else P()
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(spec_for, tree)
 

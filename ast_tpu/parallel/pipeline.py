@@ -9,7 +9,17 @@ data parallelism by sharding the microbatch batch dim over a `data` axis.
 
 The whole pipeline is one jittable, DIFFERENTIABLE program (ppermute has a
 transpose rule), so it serves both teacher-forced training of the decoder
-stack and batch inference.
+stack (wired into `train/step.py make_train_step` via
+`TrainConfig.pipe_stages`) and batch inference.
+
+Memory note: only the LAYER WEIGHTS shard over `pipe` (each stage holds
+num_layers/P layers). The microbatch queue `xs` and output buffer live with
+spec P(None, data) — every stage holds the full queue for the whole scan, so
+activation memory per chip shrinks with the data axis but NOT with P. That
+is the right trade here: this model's memory mass is weights (the ~75M-param
+frame codec Linears and per-layer FF blocks), not the (B, S<=50, 256)
+activations. A stage-streamed queue would save activation HBM at the cost of
+extra collectives; revisit only for seq-length-dominated workloads.
 
 Reference scope: the reference trains its transformer decoder monolithically
 on a single GPU (SimpleDecoder_TransformerOnly.py:30-45); this module is the
@@ -50,15 +60,29 @@ def pipelined_decoder_forward(
     pipe_axis: str = "pipe",
     data_axis: Optional[str] = None,
     num_microbatches: Optional[int] = None,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    memory_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Teacher-forced decoder-core forward, pipelined over `pipe_axis`.
 
-    model_cfg:    ModelConfig (d_model / num_heads / num_layers / ff_mult).
+    model_cfg:    ModelConfig (d_model / num_heads / num_layers / ff_mult /
+                  dtype — layers compute in model_cfg.jnp_dtype, matching the
+                  sequential core, models/decoder.py:227-229).
     core_params:  the Decoder core's params subtree ({'layer0': ..., ...}).
     tgt:          (B, S, D) shifted target embeddings (post input_norm/PE).
     memory:       (B, Sm, D) cross-attention memory.
+    deterministic/dropout_rng: with deterministic=False a dropout_rng is
+    required; each (microbatch, layer) pair folds its own key so training
+    through the pipeline keeps decoder dropout live. The draw ORDER differs
+    from the sequential core's, so outputs are only bit-equal to it when
+    deterministic (or dropout == 0) — same contract as any resharding of a
+    stochastic program.
+    memory_mask:  optional (B or 1, 1, S, Sm) cross-attention mask, threaded
+    to every layer (the sequential core's memory_mask parameter).
+
     Returns (B, S, D), numerically equal to TransformerDecoder.__call__ with
-    a causal mask and deterministic dropout.
+    a causal mask when deterministic.
 
     Requires num_layers % mesh.shape[pipe_axis] == 0 and
     B % num_microbatches == 0 (default num_microbatches = P, the minimum
@@ -79,11 +103,17 @@ def pipelined_decoder_forward(
     if data_axis is not None and mb % mesh.shape[data_axis]:
         raise ValueError(f"microbatch size {mb} not divisible by "
                          f"data axis size {mesh.shape[data_axis]}")
+    if not deterministic and dropout_rng is None:
+        raise ValueError("deterministic=False requires dropout_rng")
 
+    # parent=None: this template module must stay detached even when the
+    # call site is inside another module's apply (the train step invokes
+    # this from Decoder.forward_training via core_fn) — without it flax
+    # would try to register it as a submodule of the caller.
     layer = TransformerDecoderLayer(
         model_cfg.d_model, model_cfg.num_heads,
         model_cfg.d_model * model_cfg.ff_mult,
-        model_cfg.dropout)
+        model_cfg.dropout, model_cfg.jnp_dtype, parent=None)
     mask = causal_mask(seq)
 
     # (P, Lp, ...) leading axes: sharding axis 0 over `pipe` hands each
@@ -92,24 +122,47 @@ def pipelined_decoder_forward(
     stacked = jax.tree.map(
         lambda a: a.reshape((n_stages, layers_per_stage) + a.shape[1:]), stacked)
 
-    xs = tgt.reshape(n_micro, mb, seq, dim)
+    # the residual stream runs in jnp_dtype (as in the sequential core, where
+    # the first LayerNorm/Dense casts); casting up front keeps the scan carry
+    # dtype stable across ticks
+    xs = tgt.astype(model_cfg.jnp_dtype).reshape(n_micro, mb, seq, dim)
     mems = memory.reshape((n_micro, mb) + memory.shape[1:])
+    if memory_mask is not None and memory_mask.shape[0] == batch:
+        mmasks = memory_mask.reshape((n_micro, mb) + memory_mask.shape[1:])
+    else:
+        mmasks = None  # shared (broadcast) mask or none
+
+    # key travels as raw uint32 data: shard_map replication of typed PRNG
+    # keys is backend-sensitive, key_data is just an array
+    key_data = (jax.random.key_data(dropout_rng)
+                if dropout_rng is not None else jnp.zeros((2,), jnp.uint32))
 
     p_spec = P(pipe_axis)
     x_spec = P(None, data_axis)  # microbatch batch dim data-parallel
+    rep_spec = P()
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def stage_apply(stage_params, x, mem):
-        # layers_per_stage is static and small: unrolled Python loop.
-        for i in range(layers_per_stage):
-            p_i = jax.tree.map(lambda a: a[i], stage_params)
-            x = layer.apply({"params": p_i}, x, mem, mask, True)
-        return x
-
-    def pipe_fn(params, xs, mems):
+    def pipe_fn(params, xs, mems, mmasks, key_data):
         params = jax.tree.map(lambda a: a[0], params)  # (1, Lp, ...) -> (Lp, ...)
         stage = jax.lax.axis_index(pipe_axis)
         n_ticks = n_micro + n_stages - 1
+        base_key = jax.random.wrap_key_data(key_data)
+
+        def stage_apply(x, mem, mmask, micro_idx):
+            # layers_per_stage is static and small: unrolled Python loop.
+            for i in range(layers_per_stage):
+                p_i = jax.tree.map(lambda a: a[i], params)
+                if deterministic:
+                    x = layer.apply({"params": p_i}, x, mem, mask, True, mmask)
+                else:
+                    # one key per (microbatch, global layer): masks stay
+                    # independent across microbatches AND layers
+                    g_layer = stage * layers_per_stage + i
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(base_key, micro_idx), g_layer)
+                    x = layer.apply({"params": p_i}, x, mem, mask, False,
+                                    mmask, rngs={"dropout": k})
+            return x
 
         def tick(carry, t):
             act, outs = carry
@@ -118,8 +171,10 @@ def pipelined_decoder_forward(
             x_in = xs[jnp.clip(t, 0, n_micro - 1)]
             act = jnp.where((stage == 0) & (t < n_micro), x_in, act)
             # Stage s processes microbatch t - s at tick t.
-            mem = mems[jnp.clip(t - stage, 0, n_micro - 1)]
-            y = stage_apply(params, act, mem)
+            micro_idx = jnp.clip(t - stage, 0, n_micro - 1)
+            mem = mems[micro_idx]
+            mmask = None if mmasks is None else mmasks[micro_idx]
+            y = stage_apply(act, mem, mmask, micro_idx)
             out_idx = t - (n_stages - 1)
             write = (stage == n_stages - 1) & (out_idx >= 0)
             safe = jnp.clip(out_idx, 0, n_micro - 1)
@@ -139,7 +194,9 @@ def pipelined_decoder_forward(
     flag = ("check_vma" if "check_vma" in
             inspect.signature(shard_map).parameters else "check_rep")
     fn = shard_map(pipe_fn, mesh=mesh,
-                   in_specs=(p_spec, x_spec, x_spec),
+                   in_specs=(p_spec, x_spec, x_spec,
+                             (rep_spec if mmasks is None else x_spec),
+                             rep_spec),
                    out_specs=x_spec, **{flag: False})
-    out = fn(stacked, xs, mems)
+    out = fn(stacked, xs, mems, mmasks, key_data)
     return out.reshape(batch, seq, dim)

@@ -91,7 +91,7 @@ def train(
             start_epoch = int(os.path.basename(path).rsplit("_", 1)[-1])
             log(f"Resumed from {path} (epoch {start_epoch}, step {int(state.step)})")
 
-    step_fn = make_train_step(cfg, models)
+    step_fn = make_train_step(cfg, models, mesh=mesh)
     from ast_tpu.utils.logging import MetricLogger
 
     mlog = MetricLogger(metrics_dir)

@@ -36,9 +36,10 @@ from ast_tpu.losses import (
 from ast_tpu.train.state import Models, TrainState, make_optimizers
 
 
-def _build_loss_fns(cfg: Config, models: Models):
+def _build_loss_fns(cfg: Config, models: Models, mesh=None):
     lw = cfg.loss
     stft_bins = cfg.model.stft_bins
+    pipe_stages = cfg.train.pipe_stages
 
     def apply_generator(gen_params, state: TrainState, x, labels, rng):
         """Run encoders + teacher-forced decoder, returning losses' inputs and
@@ -55,13 +56,34 @@ def _build_loss_fns(cfg: Config, models: Models):
             content_vars, x, True,
             mutable=["batch_stats", "spectral"], rngs={"dropout": r_c})
 
+        # pipeline-parallel decoder core (TrainConfig.pipe_stages > 1): the
+        # transformer stack runs as a GPipe microbatched pipeline over the
+        # mesh's "pipe" axis; grads flow to the core weights through this
+        # closure (gen_params is the differentiated argument). Codec/norm/PE
+        # pieces stay inside the module apply below.
+        core_fn = None
+        if pipe_stages > 1:
+            r_d, r_pipe = jax.random.split(r_d)
+            data_axis = ("data" if "data" in mesh.axis_names
+                         and mesh.shape["data"] > 1 else None)
+            dropout_on = cfg.model.dropout > 0.0
+
+            def core_fn(tgt, memory):
+                from ast_tpu.parallel.pipeline import pipelined_decoder_forward
+                return pipelined_decoder_forward(
+                    cfg.model, gen_params["decoder"]["core"], tgt, memory,
+                    mesh, pipe_axis="pipe", data_axis=data_axis,
+                    deterministic=not dropout_on,
+                    dropout_rng=r_pipe if dropout_on else None)
+
         # teacher-forced reconstruction of the STFT slice of the input
         # (the decoder regenerates only the 513 STFT bins,
         # SimpleDecoder_TransformerOnly.py:13,59)
         y = x[..., :stft_bins]
         y_pred, dec_mut = models.decoder.apply(
             decoder_vars, content_emb, class_emb[labels], y, None, True,
-            mutable=["batch_stats", "spectral"], rngs={"dropout": r_d})
+            core_fn, mutable=["batch_stats", "spectral"],
+            rngs={"dropout": r_d})
 
         muts = (style_mut, content_mut, dec_mut)
         # losses always accumulate in f32 even when the forward computes in
@@ -170,14 +192,34 @@ def _apply_updates(state: TrainState, gen_tx, disc_tx, gen_grads, disc_grads,
     return new_state, metrics
 
 
-def make_train_step(cfg: Config, models: Models):
+def _check_pipe(cfg: Config, mesh):
+    if cfg.train.pipe_stages <= 1:
+        return
+    if mesh is None:
+        raise ValueError("pipe_stages > 1 requires a mesh with a 'pipe' axis")
+    if "pipe" not in mesh.axis_names:
+        raise ValueError(f"mesh axes {mesh.axis_names} carry no 'pipe' axis")
+    if mesh.shape["pipe"] != cfg.train.pipe_stages:
+        raise ValueError(f"mesh 'pipe' axis size {mesh.shape['pipe']} != "
+                         f"pipe_stages {cfg.train.pipe_stages}")
+    if cfg.model.num_layers % cfg.train.pipe_stages:
+        raise ValueError(f"num_layers {cfg.model.num_layers} not divisible "
+                         f"by pipe_stages {cfg.train.pipe_stages}")
+
+
+def make_train_step(cfg: Config, models: Models, mesh=None):
     """Build the jitted train step: (state, x, labels, curriculum) -> (state, metrics).
 
     x: (B, S, 2, window, feat_bins) balanced batch (first half piano,
     second half violin, dataloader.py:123-147); labels: (B,).
-    curriculum: dict of scalars {contrastive, hsic, adversarial}."""
+    curriculum: dict of scalars {contrastive, hsic, adversarial}.
+
+    mesh: required when cfg.train.pipe_stages > 1 — a jax.sharding.Mesh
+    whose "pipe" axis (size pipe_stages) carries the GPipe decoder-core
+    pipeline; an optional "data" axis composes dp with pp."""
+    _check_pipe(cfg, mesh)
     gen_tx, disc_tx = make_optimizers(cfg)
-    gen_loss_fn, disc_loss_fn = _build_loss_fns(cfg, models)
+    gen_loss_fn, disc_loss_fn = _build_loss_fns(cfg, models, mesh)
 
     def train_step(state: TrainState, x, labels, curriculum: Dict[str, jnp.ndarray]
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -198,13 +240,15 @@ def make_train_step(cfg: Config, models: Models):
     return jax.jit(train_step)
 
 
-def make_grad_accum_train_step(cfg: Config, models: Models, accum_steps: int):
+def make_grad_accum_train_step(cfg: Config, models: Models, accum_steps: int,
+                               mesh=None):
     """Gradient accumulation: lax.scan over microbatches averaging BOTH
     phases' gradients, then ONE optimizer update per phase.
 
     Inputs: xs (accum, B, S, 2, W, F), labels (accum, B)."""
+    _check_pipe(cfg, mesh)
     gen_tx, disc_tx = make_optimizers(cfg)
-    gen_loss_fn, disc_loss_fn = _build_loss_fns(cfg, models)
+    gen_loss_fn, disc_loss_fn = _build_loss_fns(cfg, models, mesh)
 
     def train_step(state: TrainState, xs, labels, curriculum):
         rng, step_rng = jax.random.split(state.rng)
