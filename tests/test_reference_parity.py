@@ -117,6 +117,7 @@ def _randomize_reference_module(model: torch.nn.Module, seed: int) -> None:
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_style_encoder_full_parity(rng):
     torch.manual_seed(10)
     ref = ref_style_mod.StyleEncoder()  # defaults = full size
@@ -138,6 +139,7 @@ def test_style_encoder_full_parity(rng):
                                atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_content_encoder_full_parity(rng):
     torch.manual_seed(11)
     ref = ref_content_mod.ContentEncoder()
@@ -169,6 +171,7 @@ def decoder_pair():
     return ref, ours, variables
 
 
+@pytest.mark.slow
 def test_simple_decoder_teacher_forced_parity(decoder_pair, rng):
     ref, ours, variables = decoder_pair
     B, S = 2, 3
@@ -188,6 +191,7 @@ def test_simple_decoder_teacher_forced_parity(decoder_pair, rng):
                                atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_simple_decoder_autoregressive_parity(decoder_pair, rng):
     """Our lax.scan KV-cache decode vs the reference's O(S^2) re-run-the-
     prefix inference loop (SimpleDecoder_TransformerOnly.py:102-125) — the
@@ -228,6 +232,7 @@ def conv_decoder_pair():
     return ref, ours, variables
 
 
+@pytest.mark.slow
 def test_conv_decoder_teacher_forced_parity(conv_decoder_pair, rng):
     """Teacher-forced forward vs the ACTUAL reference new_decoder.py
     (new_decoder.py:231-269) at full size — conv codec: SN convs + BN +
@@ -254,6 +259,7 @@ def test_conv_decoder_teacher_forced_parity(conv_decoder_pair, rng):
                                atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_conv_decoder_autoregressive_parity(conv_decoder_pair, rng):
     """Our lax.scan KV-cache decode vs the reference's O(S^2) inference loop
     (new_decoder.py:272-319) — full-size conv codec."""
@@ -440,3 +446,105 @@ def test_normalize_matches_reference_on_real_stats(rng):
     ours = np.asarray(normalize(jnp.asarray(x), jnp.asarray(mean),
                                 jnp.asarray(std)))
     np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# .pth FILE bridge round-trip (the user-facing migration path: a real
+# torch.save'd checkpoint file in the reference's on-disk format,
+# checkpoints/read.txt + evaluation_style_transfer.py:246-252)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def encoder_trio():
+    """Full-size reference StyleEncoder/ContentEncoder/Discriminator shared
+    by the two file-bridge tests (CNN stacks are expensive to build)."""
+    torch.manual_seed(33)
+    ref_content = ref_content_mod.ContentEncoder()
+    ref_style = ref_style_mod.StyleEncoder()
+    ref_disc = ref_disc_mod.Discriminator()
+    return ref_content, ref_style, ref_disc
+
+
+def _assert_tree_equal(a, b):
+    fa = jax.tree_util.tree_flatten_with_path(a)
+    fb = jax.tree_util.tree_flatten_with_path(b)
+    assert [p for p, _ in fa[0]] == [p for p, _ in fb[0]]
+    assert fa[1] == fb[1]
+    for (pa, la), (_, lb) in zip(fa[0], fb[0]):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                      err_msg=str(pa))
+
+
+def _save_reference_checkpoint(path, content, style, decoder, disc,
+                               epoch=100):
+    # the exact on-disk format the reference's eval drivers load
+    # (evaluation_style_transfer.py:246-252: a dict of 4 state_dicts)
+    torch.save({
+        "content_encoder": content.state_dict(),
+        "style_encoder": style.state_dict(),
+        "decoder": decoder.state_dict(),
+        "discriminator": disc.state_dict(),
+        "epoch": epoch,
+    }, str(path))
+
+
+@pytest.mark.slow
+def test_pth_file_bridge_roundtrip_linear(tmp_path, encoder_trio,
+                                          decoder_pair, rng):
+    """torch.save the four ACTUAL reference modules as the reference's
+    checkpoint dict, reload through load_torch_checkpoint (the
+    weights_only=True FILE path users hit first when migrating), and assert
+    the loaded tree is leaf-for-leaf identical to the in-memory conversion
+    AND drives the decoder to the identical output."""
+    from ast_tpu.compat.torch_import import load_torch_checkpoint
+
+    ref_content, ref_style, ref_disc = encoder_trio
+    ref_dec, ours_dec, variables_mem = decoder_pair
+    path = tmp_path / "SIMPLEDECODERcheckpoint_epoch_100.pth"
+    _save_reference_checkpoint(path, ref_content, ref_style, ref_dec,
+                               ref_disc)
+
+    loaded = load_torch_checkpoint(str(path))
+    mem = {
+        "content": convert_content_encoder(_sd_numpy(ref_content)),
+        "style": convert_style_encoder(_sd_numpy(ref_style)),
+        "decoder": convert_simple_decoder(_sd_numpy(ref_dec)),
+        "disc": convert_discriminator(_sd_numpy(ref_disc)),
+    }
+    _assert_tree_equal(loaded, mem)
+
+    B, S = 1, 2
+    content = jnp.asarray(rng.standard_normal((B, S, 256)).astype(np.float32))
+    class_emb = jnp.asarray(rng.standard_normal((B, 256)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((B, S, 2, 287, 513)).astype(np.float32))
+    out_mem = ours_dec.apply(variables_mem, content, class_emb, y)
+    out_file = ours_dec.apply(loaded["decoder"], content, class_emb, y)
+    np.testing.assert_array_equal(np.asarray(out_file), np.asarray(out_mem))
+
+
+@pytest.mark.slow
+def test_pth_file_bridge_roundtrip_conv(tmp_path, encoder_trio,
+                                        conv_decoder_pair, rng):
+    """Same FILE round-trip for the new_decoder (conv codec) checkpoint
+    variant (checkpoints/read.txt:4, decoder_codec='conv')."""
+    from ast_tpu.compat.torch_import import load_torch_checkpoint
+
+    ref_content, ref_style, ref_disc = encoder_trio
+    ref_dec, ours_dec, variables_mem = conv_decoder_pair
+    path = tmp_path / "NEWDECODERcheckpoint_epoch_70.pth"
+    _save_reference_checkpoint(path, ref_content, ref_style, ref_dec,
+                               ref_disc, epoch=70)
+
+    loaded = load_torch_checkpoint(str(path), decoder_codec="conv")
+    _assert_tree_equal(loaded["decoder"],
+                       convert_conv_decoder(_sd_numpy(ref_dec)))
+
+    B, S = 1, 2
+    content = jnp.asarray(rng.standard_normal((B, S, 256)).astype(np.float32))
+    class_emb = jnp.asarray(rng.standard_normal((B, 256)).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((B, S, 2, 287, 513)) * 0.5)
+                    .astype(np.float32))
+    out_mem = ours_dec.apply(variables_mem, content, class_emb, y)
+    out_file = ours_dec.apply(loaded["decoder"], content, class_emb, y)
+    np.testing.assert_array_equal(np.asarray(out_file), np.asarray(out_mem))
