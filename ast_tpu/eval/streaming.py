@@ -78,25 +78,15 @@ from ast_tpu.eval.inference import NAME_TO_ID, StyleTransferPipeline
 import flax.linen as nn
 
 
-class StreamState(NamedTuple):
-    """Device-side stream state (a fixed-shape pytree carried between steps).
-
-    tokens:    (K, d) ring of per-window CNN features (pre-PE), oldest first
-    inputs:    (K, d) ring of pre-PE decoder input embeddings (slot 0 holds
-               the start token until it slides out)
-    n_windows: windows processed so far (scalar int32)
-    spec_tail: (2, overlap, stft_bins) spectrogram frames still awaiting the
-               next window's overlapping contribution
-    sig_tail:  (n_fft - hop,) ISTFT overlap-add signal carry
-    env_tail:  (n_fft - hop,) ISTFT squared-window envelope carry
-    """
-
-    tokens: jnp.ndarray
-    inputs: jnp.ndarray
-    n_windows: jnp.ndarray
-    spec_tail: jnp.ndarray
-    sig_tail: jnp.ndarray
-    env_tail: jnp.ndarray
+# StreamState / the host session machinery live in the flax-free
+# ast_tpu.streamcore so jax.export'd artifacts can stream on model-code-free
+# hosts; re-exported here for back-compat.
+from ast_tpu.streamcore import (  # noqa: E402
+    StreamGeometry,
+    StreamSession,
+    StreamState,
+    initial_state_np,
+)
 
 
 def _subvars(variables, name: str):
@@ -114,12 +104,13 @@ def _irfft(spec: jnp.ndarray, n_fft: int, method: str, precision) -> jnp.ndarray
     return jnp.fft.irfft(spec, n=n_fft, axis=-1)
 
 
-def _build_stream_step(pipe: StyleTransferPipeline, K: int, margin: int,
-                       debug: bool = False):
-    """One jitted program: featurize chunk -> content token -> causal
-    transformer over the ring -> one decoder step -> OLA-mean -> streaming
-    ISTFT. Returns (state', emitted_samples) (+ the raw output window with
-    debug=True)."""
+def _build_stream_step_fn(pipe: StyleTransferPipeline, K: int, margin: int,
+                          debug: bool = False):
+    """The UNJITTED one-window stream step: featurize chunk -> content token
+    -> causal transformer over the ring -> one decoder step -> OLA-mean ->
+    streaming ISTFT. Returns (state', emitted_samples) (+ the raw output
+    window with debug=True). `_build_stream_step` jits it for one session;
+    `_build_stream_step_batched` vmaps it across concurrent sessions."""
     cfg = pipe.cfg
     a, m = cfg.audio, cfg.model
     W, O = a.window_size, a.eval_overlap_frames
@@ -158,7 +149,6 @@ def _build_stream_step(pipe: StyleTransferPipeline, K: int, margin: int,
             _subvars(content_vars, "transformer"), seq, mask,
             deterministic=True)
 
-    @jax.jit
     def step(chunk, state: StreamState, class_embeddings, target_id,
              content_vars, decoder_vars, n_valid_frames):
         # ---- featurize the chunk, slice out this window's W frames ----
@@ -246,8 +236,40 @@ def _build_stream_step(pipe: StyleTransferPipeline, K: int, margin: int,
     return step
 
 
+def _build_stream_step(pipe: StyleTransferPipeline, K: int, margin: int,
+                       debug: bool = False):
+    """One jitted per-session stream-step program."""
+    return jax.jit(_build_stream_step_fn(pipe, K, margin, debug=debug))
+
+
+def _build_stream_step_batched(pipe: StyleTransferPipeline, K: int,
+                               margin: int):
+    """One jitted program stepping a BATCH of concurrent sessions: vmap over
+    (chunk, state, target_id, n_valid_frames); model variables and class
+    embeddings are shared. This is what lets a serving daemon coalesce many
+    live streams into one device call per output window (the step is fixed-
+    shape, so sessions at the same (K, margin) batch freely)."""
+    fn = _build_stream_step_fn(pipe, K, margin, debug=False)
+    return jax.jit(jax.vmap(fn, in_axes=(0, 0, None, 0, None, None, 0)))
+
+
+def resolve_margin(cfg, margin_frames: Optional[int]) -> int:
+    """Resolve a session's featurization margin: None -> the exact analytic
+    bound (the CQT's full receptive field incl. the recursive decimator
+    chain, or the STFT center pad, whichever is larger — interior-window
+    features then EQUAL the offline whole-signal ones, tested)."""
+    if margin_frames is not None:
+        return int(margin_frames)
+    a = cfg.audio
+    return max(
+        cqt_context_frames(a.sample_rate, a.cqt_bins, a.hop_length,
+                           a.cqt_bins_per_octave, a.cqt_fmin,
+                           a.cqt_filter_scale, a.cqt_algorithm),
+        math.ceil((a.n_fft // 2) / a.hop_length))
+
+
 @dataclasses.dataclass
-class StreamingTransfer:
+class StreamingTransfer(StreamSession):
     """Push-based streaming style transfer around a StyleTransferPipeline.
 
     >>> stream = StreamingTransfer(pipe, target="violin")
@@ -259,6 +281,8 @@ class StreamingTransfer:
     overlap-average + ISTFT of the stream's decoded windows (same envelope
     division, center trim and hop*(T-1) length as `istft`), with the model
     running causally over a `context_windows`-window sliding context.
+    (push/flush live on the flax-free base, ast_tpu.streamcore.StreamSession,
+    shared with artifact-backed sessions.)
 
     context_windows: model context K (content + decoder rings). While the
         stream is shorter than K windows the decode matches the offline
@@ -266,13 +290,19 @@ class StreamingTransfer:
     margin_frames: featurization context on each side of a window. None
         (default) = the exact analytic bound — the CQT's full receptive
         field incl. the recursive decimator chain (dsp/cqt.py
-        cqt_context_frames; 41 frames ≈ 0.48 s at the standard config) or
+        cqt_context_frames; 41 frames ~ 0.48 s at the standard config) or
         the STFT center pad, whichever is larger — at which interior-window
         features EQUAL the offline whole-signal ones (tested). Smaller
         explicit values trade accuracy at the lowest CQT octaves for
         latency.
     collect_windows: keep the decoded (2, W, stft_bins) windows on host
         (debugging/tests; costs one extra device->host copy per window).
+    step_runner: optional external device-step dispatcher with the runner
+        signature (chunk, state, target_id, n_valid_frames) ->
+        (state', emit) — the serving daemon injects its cross-session
+        stream batcher here so concurrent /stream sessions coalesce into
+        one vmapped device call per window. Incompatible with
+        collect_windows (the batched step has no debug output).
     """
 
     pipe: StyleTransferPipeline
@@ -280,220 +310,49 @@ class StreamingTransfer:
     context_windows: int = 8
     margin_frames: Optional[int] = None
     collect_windows: bool = False
+    step_runner: Optional[callable] = None
 
     def __post_init__(self):
         cfg = self.pipe.cfg
-        a = cfg.audio
-        self._W = a.window_size
-        self._O = a.eval_overlap_frames
-        self._P = self._W - self._O
-        self._hop = a.hop_length
-        self._n_fft = a.n_fft
-        if self._O >= self._P:
-            raise ValueError(
-                f"streaming requires overlap < step (overlap {self._O}, "
-                f"window {self._W}): windows may only overlap immediate "
-                "neighbours")
-        if self._O >= self._W * 0.5:
-            raise ValueError("streaming requires overlap < window_size/2")
-        if self._P * self._hop < self._n_fft:
-            raise ValueError("step*hop must cover one FFT frame")
-        if self._n_fft % self._hop != 0:
-            raise ValueError("streaming ISTFT needs hop | n_fft")
+        a, m = cfg.audio, cfg.model
         K = int(self.context_windows)
-        if K < 2 or K > cfg.model.max_len:
-            raise ValueError(f"context_windows must be in [2, max_len], got {K}")
-        self._K = K
-        if self.margin_frames is None:
-            self._margin = max(
-                cqt_context_frames(a.sample_rate, a.cqt_bins, a.hop_length,
-                                   a.cqt_bins_per_octave, a.cqt_fmin,
-                                   a.cqt_filter_scale, a.cqt_algorithm),
-                math.ceil((a.n_fft // 2) / a.hop_length))
+        margin = resolve_margin(cfg, self.margin_frames)
+        geometry = StreamGeometry(
+            sample_rate=a.sample_rate, hop=a.hop_length, n_fft=a.n_fft,
+            window_size=a.window_size, overlap=a.eval_overlap_frames,
+            margin=margin, context_windows=K, max_len=m.max_len)
+        tid = (NAME_TO_ID[self.target]
+               if isinstance(self.target, str) else int(self.target))
+
+        if self.step_runner is not None:
+            if self.collect_windows:
+                raise ValueError(
+                    "collect_windows needs the per-session debug step; it "
+                    "cannot ride an external step_runner")
+            runner = self.step_runner
         else:
-            self._margin = int(self.margin_frames)
-        self._chunk_frames = self._W + 2 * self._margin
-        self._chunk_len = (self._chunk_frames - 1) * self._hop
-        self._tid = (NAME_TO_ID[self.target]
-                     if isinstance(self.target, str) else int(self.target))
-        # the jitted step is cached on the PIPELINE so concurrent streams
-        # (e.g. per-connection streams in the serving daemon) share one
-        # compiled program per (K, margin, debug) choice
-        cache = self.pipe.__dict__.setdefault("_stream_steps", {})
-        key = (K, self._margin, self.collect_windows)
-        if key not in cache:
-            cache[key] = _build_stream_step(self.pipe, K, self._margin,
-                                            debug=self.collect_windows)
-        self._step = cache[key]
-        d = cfg.model.d_model
+            # the jitted step is cached on the PIPELINE so concurrent
+            # streams (e.g. per-connection streams in the serving daemon)
+            # share one compiled program per (K, margin, debug) choice
+            cache = self.pipe.__dict__.setdefault("_stream_steps", {})
+            key = (K, margin, self.collect_windows)
+            if key not in cache:
+                cache[key] = _build_stream_step(self.pipe, K, margin,
+                                                debug=self.collect_windows)
+            step = cache[key]
+            pipe = self.pipe
+
+            def runner(chunk, state, target_id, n_valid_frames):
+                return step(jnp.asarray(chunk), state,
+                            pipe.class_embeddings,
+                            jnp.asarray(target_id),
+                            pipe.content_vars_infer, pipe.decoder_vars,
+                            jnp.asarray(n_valid_frames, jnp.int32))
+
         start = np.asarray(
             self.pipe.decoder.apply(self.pipe.decoder_vars, 1,
-                                    method=Decoder.start_tokens))[0]  # (1, d)
-        inputs0 = np.zeros((K, d), np.float32)
-        inputs0[:1] = start
-        self._state = StreamState(
-            tokens=jnp.zeros((K, d), jnp.float32),
-            inputs=jnp.asarray(inputs0),
-            n_windows=jnp.asarray(0, jnp.int32),
-            spec_tail=jnp.zeros((2, self._O, a.stft_bins), jnp.float32),
-            sig_tail=jnp.zeros((self._n_fft - self._hop,), jnp.float32),
-            env_tail=jnp.zeros((self._n_fft - self._hop,), jnp.float32),
-        )
-        self._buf = np.zeros(0, np.float32)
-        self._buf_start = 0      # global sample index of _buf[0]
-        self._total_in = 0       # samples pushed so far
-        self._next_w = 0         # next window index
-        self._trim_left = self._n_fft // 2  # center-trim of the output stream
-        # Hold the last n_fft//2 produced samples back until flush: the
-        # offline ISTFT trims n_fft//2 from BOTH ends, and only flush knows
-        # where the stream ends. Adds n_fft/2 samples (~12 ms) of latency.
-        self._hold = self._n_fft // 2
-        self._pending = np.zeros(0, np.float32)  # produced, not yet returned
-        self._returned = 0       # samples already handed to the caller
-        self._finished = False
-        self.windows: list = []  # decoded windows (collect_windows=True)
-
-    # ------------------------------------------------------------------
-
-    @property
-    def algorithmic_latency_seconds(self) -> float:
-        """Worst-case stream latency excluding compute: a window's oldest
-        sample is emitted once the stream reaches the end of its chunk."""
-        a = self.pipe.cfg.audio
-        return (self._W + self._margin) * self._hop / a.sample_rate
-
-    def _chunk_start(self, w: int) -> int:
-        return (w * self._P - self._margin) * self._hop
-
-    def _extract_chunk(self, start: int) -> np.ndarray:
-        """Assemble [start, start+chunk_len) from the buffer, zero-filling
-        the pre-stream region (and, at flush, the post-stream region)."""
-        out = np.zeros(self._chunk_len, np.float32)
-        lo = max(start, self._buf_start)
-        hi = min(start + self._chunk_len, self._total_in)
-        if hi > lo:
-            out[lo - start:hi - start] = self._buf[lo - self._buf_start:
-                                                   hi - self._buf_start]
-        return out
-
-    def _run_window(self, w: int, n_valid_frames: int) -> np.ndarray:
-        chunk = jnp.asarray(self._extract_chunk(self._chunk_start(w)))
-        res = self._step(chunk, self._state, self.pipe.class_embeddings,
-                         jnp.asarray(self._tid), self.pipe.content_vars_infer,
-                         self.pipe.decoder_vars,
-                         jnp.asarray(n_valid_frames, jnp.int32))
-        if self.collect_windows:
-            self._state, emit, win = res
-            self.windows.append(np.asarray(win))
-        else:
-            self._state, emit = res
-        return np.asarray(emit)
-
-    def _trim(self, samples: np.ndarray) -> np.ndarray:
-        """Drop the stream-initial n_fft//2 samples (ISTFT center trim)."""
-        if self._trim_left > 0:
-            cut = min(self._trim_left, len(samples))
-            self._trim_left -= cut
-            samples = samples[cut:]
-        return samples
-
-    def _release(self, produced: np.ndarray) -> np.ndarray:
-        """Queue newly produced (already-trimmed) samples; return everything
-        but the last `_hold` samples (flush resolves those)."""
-        self._pending = np.concatenate([self._pending, produced])
-        if len(self._pending) <= self._hold:
-            return np.zeros(0, np.float32)
-        ret = self._pending[: len(self._pending) - self._hold]
-        self._pending = self._pending[len(self._pending) - self._hold:]
-        self._returned += len(ret)
-        return ret
-
-    def push(self, samples) -> np.ndarray:
-        """Feed PCM float samples (any block size); returns every output
-        sample that became final — possibly empty, possibly several windows'
-        worth."""
-        if self._finished:
-            raise RuntimeError("stream already flushed")
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        self._buf = np.concatenate([self._buf, samples])
-        self._total_in += len(samples)
-        out = []
-        while True:
-            end = self._chunk_start(self._next_w) + self._chunk_len
-            if self._total_in < end:
-                break
-            out.append(self._run_window(self._next_w, self._W))
-            self._next_w += 1
-            keep_from = max(0, self._chunk_start(self._next_w))
-            if keep_from > self._buf_start:
-                self._buf = self._buf[keep_from - self._buf_start:]
-                self._buf_start = keep_from
-        produced = (np.concatenate(out) if out else np.zeros(0, np.float32))
-        return self._release(self._trim(produced))
-
-    def flush(self) -> np.ndarray:
-        """End of stream: process the final partial window (kept iff its
-        frame count >= window_size/2, the reference drop rule —
-        utilityFunctions.py:253-255), emit the remaining overlap-average
-        tail, and match the offline ISTFT length hop*(T-1) exactly."""
-        if self._finished:
-            return np.zeros(0, np.float32)
-        self._finished = True
-        hop, n_fft = self._hop, self._n_fft
-        T_total = 1 + self._total_in // hop
-        start = self._next_w * self._P
-        produced = np.zeros(0, np.float32)
-        if T_total - start >= self._W * 0.5:
-            valid = min(self._W, T_total - start)
-            produced = self._run_window(self._next_w, valid)
-            self._next_w += 1
-        if self._next_w == 0:
-            raise ValueError(
-                f"stream too short: {T_total} frames < window_size/2")
-
-        # ---- numpy tail: pending overlap frames + offline length semantics
-        spec_tail = np.asarray(self._state.spec_tail)      # (2, O, F)
-        sig_tail = np.asarray(self._state.sig_tail)
-        env_tail = np.asarray(self._state.env_tail)
-        frames_done = self._next_w * self._P
-        n_extra = T_total - frames_done  # canvas/crop frames still to render
-        w2 = hann_window_np(n_fft) ** 2
-        if n_extra > 0:
-            total = n_extra * hop + n_fft - hop
-            sig = np.zeros(total, np.float32)
-            env = np.zeros(total, np.float32)
-            sig[: len(sig_tail)] += sig_tail
-            env[: len(env_tail)] += env_tail
-            n_content = min(self._O, n_extra)
-            if n_content > 0:
-                spec = spec_tail[0, :n_content] + 1j * spec_tail[1, :n_content]
-                fr = np.fft.irfft(spec, n=n_fft, axis=-1) * hann_window_np(n_fft)
-                for i in range(n_content):
-                    sig[i * hop: i * hop + n_fft] += fr[i]
-            for i in range(n_extra):  # every frame < T counts in the envelope
-                env[i * hop: i * hop + n_fft] += w2
-            tail_out = (sig / np.where(env > 1e-11, env, 1.0)).astype(np.float32)
-        else:
-            tail_out = (sig_tail / np.where(env_tail > 1e-11, env_tail, 1.0)
-                        ).astype(np.float32)
-
-        # offline: untrimmed length n_fft + hop*(T-1), center-trimmed to
-        # hop*(T-1) (dsp/stft.py istft:385-392 semantics)
-        final_len = hop * (T_total - 1)
-        queued = np.concatenate([self._pending, self._trim(produced),
-                                 self._trim(tail_out)])
-        self._pending = np.zeros(0, np.float32)
-        need = final_len - self._returned
-        if need > len(queued):
-            queued = np.concatenate(
-                [queued, np.zeros(need - len(queued), np.float32)])
-        ret = queued[: max(0, need)]
-        self._returned += len(ret)
-        return ret
-
-    def process(self, waveform, block: int = 4096) -> np.ndarray:
-        """Convenience: stream a whole waveform through push/flush."""
-        wav = np.asarray(waveform, np.float32).reshape(-1)
-        parts = [self.push(wav[i:i + block]) for i in range(0, len(wav), block)]
-        parts.append(self.flush())
-        return np.concatenate(parts)
+                                    method=Decoder.start_tokens))[0, 0]
+        init = initial_state_np(K, m.d_model, a.eval_overlap_frames,
+                                a.stft_bins, a.n_fft, a.hop_length, start)
+        StreamSession.__init__(self, geometry, init, runner, tid,
+                               collect_windows=self.collect_windows)
