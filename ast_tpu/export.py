@@ -39,6 +39,12 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ast_tpu.streamcore import (
+    StreamGeometry,
+    StreamSession,
+    StreamState,
+    initial_state_np,
+)
 from ast_tpu.wire import wire_decode_np, wire_dtype, wire_encode_np
 
 FORMAT_VERSION = 1
@@ -82,6 +88,8 @@ def export_pipeline(
     platforms: Optional[Sequence[str]] = None,
     batch_sizes: Sequence[int] = (1,),
     wire: str = "f32",
+    stream_contexts: Sequence[int] = (),
+    stream_margin: Optional[int] = None,
 ) -> str:
     """AOT-export `pipe`'s fused transfer cores.
 
@@ -91,7 +99,13 @@ def export_pipeline(
     HTTP daemon's dynamic batcher can coalesce requests against the artifact.
     `wire` bakes the host<->device transport ("f32"/"pcm16"/"mulaw8") into
     the programs' I/O dtypes. Also writes the folded inference params.
-    Returns `path`.
+
+    `stream_contexts` additionally exports the LIVE-streaming per-window step
+    (eval/streaming.py) for those model-context sizes K, making the artifact
+    answer `/stream` on a model-code-free host (`ExportedPipeline.
+    stream_session`). The streaming step is one fixed-shape program per
+    window — exactly what jax.export is good at; wire does not apply to it
+    (streams carry float PCM). Returns `path`.
     """
     import jax
     from jax import export as jexport
@@ -160,6 +174,57 @@ def export_pipeline(
     flat.update({f"decoder/{k}": v
                  for k, v in _flatten(decoder_vars).items()})
     flat["class_embeddings"] = class_emb
+
+    stream_manifest = None
+    if stream_contexts:
+        from ast_tpu.eval.streaming import _build_stream_step_fn, resolve_margin
+        from ast_tpu.models import Decoder
+
+        m = pipe.cfg.model
+        margin = resolve_margin(pipe.cfg, stream_margin)
+        chunk_len = (a.window_size + 2 * margin - 1) * a.hop_length
+        start = np.asarray(pipe.decoder.apply(
+            pipe.decoder_vars, 1, method=Decoder.start_tokens))[0, 0]
+        flat["stream_start_token"] = start
+
+        programs = []
+        for K in sorted({int(k) for k in stream_contexts}):
+            fn = _build_stream_step_fn(pipe, K, margin)
+
+            # state travels as a plain dict: jax.export treedefs for custom
+            # NamedTuples don't survive deserialization on a host that never
+            # registered them
+            def sfn(cv, dv, ce, chunk, state, target_id, n_valid, _fn=fn):
+                st = StreamState(**state)
+                new_state, emit = _fn(chunk, st, ce, target_id, cv, dv,
+                                      n_valid)
+                return dict(new_state._asdict()), emit
+
+            init = initial_state_np(K, m.d_model, overlap, a.stft_bins,
+                                    a.n_fft, a.hop_length, start)
+            exp = jexport.export(
+                jax.jit(sfn),
+                platforms=tuple(platforms) if platforms else None,
+            )(specs(content_vars), specs(decoder_vars), specs(class_emb),
+              jax.ShapeDtypeStruct((chunk_len,), np.float32),
+              specs(dict(init._asdict())),
+              jax.ShapeDtypeStruct((), np.int32),
+              jax.ShapeDtypeStruct((), np.int32))
+            fname = f"stream_K{K}.jaxexp"
+            with open(os.path.join(path, fname), "wb") as f:
+                f.write(exp.serialize())
+            programs.append({"context_windows": K, "file": fname})
+        stream_manifest = {
+            "margin": margin,
+            "window_size": a.window_size,
+            "overlap": overlap,
+            "n_fft": a.n_fft,
+            "stft_bins": a.stft_bins,
+            "d_model": m.d_model,
+            "max_len": m.max_len,
+            "programs": programs,
+        }
+
     np.savez(os.path.join(path, _PARAMS), **flat)
 
     manifest = {
@@ -173,6 +238,8 @@ def export_pipeline(
         "targets": dict(NAME_TO_ID),
         "buckets": entries,
     }
+    if stream_manifest is not None:
+        manifest["stream"] = stream_manifest
     with open(os.path.join(path, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return path
@@ -192,10 +259,10 @@ class ExportedPipeline:
     (`cfg.audio.{sample_rate,hop_length}`, `process_audio`,
     `process_audio_batch`, `targets`) so the HTTP daemon can serve straight
     from the artifact on a model-code-free host (`ast-tpu-serve --artifact`).
-    Live PCM streaming needs the incremental model step and stays on the
-    full pipeline (`supports_streaming = False`)."""
-
-    supports_streaming = False
+    Artifacts exported with `stream_contexts` also carry the incremental
+    per-window step and answer live PCM streaming via `stream_session`;
+    artifacts without it report `supports_streaming = False` (the daemon's
+    501 path)."""
 
     def __init__(self, path: str):
         self.path = path
@@ -214,6 +281,7 @@ class ExportedPipeline:
             {k[len("decoder/"):]: v for k, v in flat.items()
              if k.startswith("decoder/")})
         self._class_emb = flat["class_embeddings"]
+        self._stream_start = flat.get("stream_start_token")
         self.targets: Dict[str, int] = self.manifest["targets"]
         self.wire: str = self.manifest.get("wire", "f32")
         self._files = {(e["n_samples"], e.get("batch", 1)): e["file"]
@@ -299,6 +367,70 @@ class ExportedPipeline:
         out = self._call(n, b)(self._content, self._decoder, self._class_emb,
                                padded, ids)
         return wire_decode_np(np.asarray(out)[:B])
+
+    # ---- live streaming from the artifact (stream_contexts exports) ----
+
+    @property
+    def supports_streaming(self) -> bool:
+        return "stream" in self.manifest
+
+    def stream_session(self, target, context: Optional[int] = None,
+                       margin: Optional[int] = None) -> StreamSession:
+        """A push/flush live-stream session backed by the artifact's
+        jax.export'd per-window step (same host machinery as the pipeline-
+        backed `eval.streaming.StreamingTransfer` — ast_tpu.streamcore)."""
+        sm = self.manifest.get("stream")
+        if not sm:
+            raise NotImplementedError(
+                "live streaming needs the incremental model step; this "
+                "artifact was exported without one — re-export with "
+                "stream contexts (scripts/export.py --stream-context) or "
+                "serve from a checkpoint for /stream")
+        if margin is not None and int(margin) != sm["margin"]:
+            raise ValueError(
+                f"artifact stream programs bake margin={sm['margin']}; "
+                f"cannot stream margin={margin} (re-export with "
+                f"--stream-margin {margin})")
+        by_k = {e["context_windows"]: e["file"] for e in sm["programs"]}
+        if context is None:
+            k = 8 if 8 in by_k else sorted(by_k)[0]
+        else:
+            k = int(context)
+        if k not in by_k:
+            raise ValueError(
+                f"no exported stream program for context {k}; available "
+                f"{sorted(by_k)} (re-export with --stream-context {k})")
+
+        key = ("stream", k)
+        if key not in self._calls:
+            import jax
+            from jax import export as jexport
+
+            with open(os.path.join(self.path, by_k[k]), "rb") as f:
+                exp = jexport.deserialize(bytearray(f.read()))
+            self._calls[key] = jax.jit(exp.call)
+        call = self._calls[key]
+        content, decoder, ce = self._content, self._decoder, self._class_emb
+
+        def runner(chunk, state: StreamState, target_id, n_valid):
+            new_state, emit = call(content, decoder, ce,
+                                   np.asarray(chunk, np.float32),
+                                   dict(state._asdict()),
+                                   np.int32(target_id), np.int32(n_valid))
+            return StreamState(**new_state), emit
+
+        geometry = StreamGeometry(
+            sample_rate=self.manifest["sample_rate"],
+            hop=self.manifest["hop_length"], n_fft=sm["n_fft"],
+            window_size=sm["window_size"], overlap=sm["overlap"],
+            margin=sm["margin"], context_windows=k, max_len=sm["max_len"])
+        init = initial_state_np(k, sm["d_model"], sm["overlap"],
+                                sm["stft_bins"], sm["n_fft"],
+                                self.manifest["hop_length"],
+                                self._stream_start)
+        tid = (self.targets[target] if isinstance(target, str)
+               else int(target))
+        return StreamSession(geometry, init, runner, tid)
 
     def transfer(self, waveform: np.ndarray, target: str) -> np.ndarray:
         """transfer(waveform, 'violin'|'piano') -> waveform, trimmed to the

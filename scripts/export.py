@@ -45,6 +45,14 @@ def main():
                    help="host<->device waveform transport baked into the "
                         "programs (pcm16 halves upload bytes losslessly vs "
                         "16-bit PCM bodies)")
+    p.add_argument("--stream-context", default=None, metavar="K[,K...]",
+                   help="also export the LIVE-streaming per-window step for "
+                        "these model-context sizes (e.g. 8), so the artifact "
+                        "serves /stream on a model-code-free host")
+    p.add_argument("--stream-margin", type=int, default=None,
+                   help="featurization margin frames baked into the stream "
+                        "programs (default: the exact analytic CQT/STFT "
+                        "receptive-field bound)")
     p.add_argument("--platforms", default=None, metavar="P[,P...]",
                    help="lowering platforms (e.g. tpu or cpu,tpu); default: "
                         "the current backend")
@@ -114,9 +122,12 @@ def main():
     batch_sizes = tuple(int(b) for b in args.batch_sizes.split(",") if b)
     platforms = (tuple(s for s in args.platforms.split(",") if s)
                  if args.platforms else None)
+    stream_contexts = (tuple(int(k) for k in args.stream_context.split(",")
+                             if k) if args.stream_context else ())
     export_pipeline(pipe, args.output_dir, bucket_seconds=buckets,
                     platforms=platforms, batch_sizes=batch_sizes,
-                    wire=args.wire)
+                    wire=args.wire, stream_contexts=stream_contexts,
+                    stream_margin=args.stream_margin)
     total = sum(os.path.getsize(os.path.join(args.output_dir, f))
                 for f in os.listdir(args.output_dir))
     n_prog = len([f for f in os.listdir(args.output_dir)

@@ -17,6 +17,8 @@ import wave
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ast_tpu.eval import StyleTransferPipeline
 from ast_tpu.export import export_pipeline, load_exported
 from tests.test_inference import TINY, TINY_AUDIO
@@ -182,6 +184,7 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
 import numpy as np
 from ast_tpu.export import load_exported
+
 exp = load_exported({path!r})
 wav = np.zeros({int(TINY_AUDIO.clip_samples)}, np.float32)
 out = exp.transfer(wav, "violin")
@@ -198,3 +201,76 @@ print("OK", out.shape[0])
                          text=True, timeout=600, env=env)
     assert res.returncode == 0, res.stderr
     assert res.stdout.startswith("OK")
+
+
+# ---------------------------------------------------------------------------
+# live streaming from the artifact (stream_contexts exports): the /stream
+# 501 above remains only for artifacts exported WITHOUT the streaming step
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stream_artifact(tmp_path_factory):
+    """Artifact carrying the jax.export'd per-window streaming step (K=4)."""
+    pipe = StyleTransferPipeline.init_random(TINY, seed=3)
+    path = str(tmp_path_factory.mktemp("exported_s"))
+    export_pipeline(pipe, path, bucket_seconds=(TINY_AUDIO.clip_seconds,),
+                    stream_contexts=(4,))
+    return pipe, path
+
+
+def test_stream_from_artifact_matches_live(stream_artifact):
+    """An artifact stream session must reproduce the live pipeline's
+    StreamingTransfer bit-for-bit (same trace, same params, same platform)."""
+    from ast_tpu.eval.streaming import StreamingTransfer
+
+    pipe, path = stream_artifact
+    exp = load_exported(path)
+    assert exp.supports_streaming
+    rng = np.random.default_rng(31)
+    wav = (0.1 * rng.standard_normal(2 * TINY_AUDIO.clip_samples)
+           ).astype(np.float32)
+    got = exp.stream_session("violin", context=4).process(wav)
+    want = StreamingTransfer(pipe, target="violin",
+                             context_windows=4).process(wav)
+    np.testing.assert_array_equal(got, want)
+    # guard rails: un-exported context / mismatched margin are explicit
+    with pytest.raises(ValueError, match="no exported stream program"):
+        exp.stream_session("violin", context=6)
+    with pytest.raises(ValueError, match="margin"):
+        exp.stream_session("violin", context=4, margin=1)
+
+
+def test_stream_from_artifact_http(stream_artifact):
+    """--artifact daemons serve /stream when the artifact carries the
+    streaming step: the chunked PCM16 response equals the local artifact
+    session's output."""
+    from ast_tpu.serve import TransferServer
+
+    pipe, path = stream_artifact
+    exp = load_exported(path)
+    srv = TransferServer(exp, port=0, max_seconds=60.0, artifact=path)
+    srv.start_background()
+    try:
+        host, port = srv.address[:2]
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["streaming"] is True
+
+        rng = np.random.default_rng(32)
+        wav = (0.2 * rng.standard_normal(2 * TINY_AUDIO.clip_samples)
+               ).astype(np.float32)
+        pcm = np.clip(np.round(wav * 32768.0), -32768, 32767).astype("<i2")
+        req = urllib.request.Request(
+            base + "/stream?target=violin&context=4",
+            data=pcm.tobytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            got = np.frombuffer(r.read(), "<i2")
+
+        out = exp.stream_session("violin", context=4).process(
+            pcm.astype(np.float32) / 32768.0)
+        want = np.clip(np.round(out * 32768.0), -32768, 32767).astype("<i2")
+        np.testing.assert_array_equal(got, want)
+    finally:
+        srv.shutdown()
