@@ -86,12 +86,8 @@ def _fix_len(x: np.ndarray, n: int) -> np.ndarray:
     return x[:n].astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _featurize_core(piano_wavs, violin_wavs, piano_stats, violin_stats,
+def _featurize_impl(piano_wavs, violin_wavs, piano_stats, violin_stats,
                     cfg: AudioConfig) -> jnp.ndarray:
-    """On-device batched featurization with per-instrument stats — ONE jitted
-    program per (batch, cfg) bucket (eager dispatch per-op is both slow and
-    unsupported on some backends)."""
     outs = []
     for wavs, st in ((piano_wavs, piano_stats), (violin_wavs, violin_stats)):
         f = jax.vmap(
@@ -99,6 +95,26 @@ def _featurize_core(piano_wavs, violin_wavs, piano_stats, violin_stats,
         )(wavs)
         outs.append(f)
     return jnp.concatenate(outs, axis=0)  # (B, S, 2, W, F)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _featurize_core(piano_wavs, violin_wavs, piano_stats, violin_stats,
+                    cfg: AudioConfig) -> jnp.ndarray:
+    """On-device batched featurization with per-instrument stats — ONE jitted
+    program per (batch, cfg) bucket (eager dispatch per-op is both slow and
+    unsupported on some backends)."""
+    return _featurize_impl(piano_wavs, violin_wavs, piano_stats, violin_stats,
+                           cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _featurize_resident(piano_all, violin_all, idxs, piano_stats,
+                        violin_stats, cfg: AudioConfig) -> jnp.ndarray:
+    """Gather a batch out of the device-resident waveform banks and featurize
+    it — one jitted program, no host->device waveform transfer per step."""
+    piano = jnp.take(piano_all, idxs, axis=0)
+    violin = jnp.take(violin_all, idxs, axis=0)
+    return _featurize_impl(piano, violin, piano_stats, violin_stats, cfg)
 
 
 def _featurize_batch(dataset: DualInstrumentDataset,
@@ -147,6 +163,65 @@ def balanced_batches(
             np.concatenate([np.zeros(len(idxs), np.int32),
                             np.ones(len(idxs), np.int32)]))
         yield x, labels
+
+
+class ResidentBatches:
+    """Device-resident balanced batches: decode + upload every waveform ONCE,
+    then every epoch's batches gather + featurize on device in one jitted
+    program per step.
+
+    `balanced_batches` re-reads and re-uploads each batch's waveforms every
+    epoch — on a relay-attached chip that transfer dominates the step (run1
+    measured ~0.6-1.5 steps/s at B=64 against a 4 steps/s compute bound).
+    Here the (N, n_samples) waveform banks live in HBM for the whole run
+    (10 s clips: ~1.8 MB/pair — 768 pairs ≈ 1.35 GB), so long training runs
+    iterate at device speed. Yields the identical (x, labels) contract as
+    `balanced_batches` for the same seed/epoch (tested)."""
+
+    def __init__(self, dataset: DualInstrumentDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = True, log=print):
+        if batch_size % 2 != 0:
+            batch_size -= 1
+        self.half = batch_size // 2
+        self.shuffle, self.seed, self.drop_last = shuffle, seed, drop_last
+        self.dataset = dataset
+        n = len(dataset)
+        pw, vw = [], []
+        for i in range(n):
+            p, v = dataset.load_pair(i)
+            pw.append(p)
+            vw.append(v)
+        self.piano = jnp.asarray(np.stack(pw))
+        self.violin = jnp.asarray(np.stack(vw))
+        self._stats = (
+            tuple(jnp.asarray(a) for a in (
+                dataset.stats[0].stft_mean, dataset.stats[0].stft_std,
+                dataset.stats[0].cqt_mean, dataset.stats[0].cqt_std)),
+            tuple(jnp.asarray(a) for a in (
+                dataset.stats[1].stft_mean, dataset.stats[1].stft_std,
+                dataset.stats[1].cqt_mean, dataset.stats[1].cqt_std)))
+        log(f"resident dataset: {n} pairs "
+            f"({self.piano.nbytes * 2 / 1e6:.0f} MB on device)")
+
+    def __call__(self, epoch: int) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        half = self.half
+        labels = jnp.asarray(np.concatenate([
+            np.zeros(half, np.int32), np.ones(half, np.int32)]))
+        for start in range(0, len(order), half):
+            idxs = order[start:start + half]
+            if len(idxs) < half and self.drop_last:
+                break
+            x = _featurize_resident(self.piano, self.violin,
+                                    jnp.asarray(idxs, jnp.int32),
+                                    self._stats[0], self._stats[1],
+                                    self.dataset.cfg)
+            yield x, (labels if len(idxs) == half else jnp.asarray(
+                np.concatenate([np.zeros(len(idxs), np.int32),
+                                np.ones(len(idxs), np.int32)])))
 
 
 def get_dataloader(piano_dir: str, violin_dir: str, batch_size: int = 8,

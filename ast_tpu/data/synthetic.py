@@ -43,19 +43,21 @@ def dummy_batches(batch_size: int = 16, sections: int = 4,
 # spectral envelopes and onset statistics.
 
 _SCALE = np.array([0, 2, 4, 5, 7, 9, 11, 12])  # major scale semitones
+_MINOR = np.array([0, 2, 3, 5, 7, 8, 10, 12])  # natural minor semitones
 
 
 def _melody(rng: np.random.Generator, dur: float, note_min: float,
-            note_max: float, base: float = 220.0):
-    """Random-walk melody over a major scale: [(onset_s, dur_s, freq_hz)]."""
+            note_max: float, base: float = 220.0, scale: np.ndarray = None):
+    """Random-walk melody over a scale: [(onset_s, dur_s, freq_hz)]."""
+    scale = _SCALE if scale is None else scale
     notes = []
     t0 = 0.0
-    deg = rng.integers(0, len(_SCALE))
+    deg = rng.integers(0, len(scale))
     while t0 < dur - 0.15:
         step = int(rng.integers(-2, 3))
-        deg = int(np.clip(deg + step, 0, len(_SCALE) - 1))
+        deg = int(np.clip(deg + step, 0, len(scale) - 1))
         note_dur = float(rng.uniform(note_min, note_max))
-        f = base * 2 ** (_SCALE[deg] / 12)
+        f = base * 2 ** (scale[deg] / 12)
         notes.append((t0, min(note_dur, dur - t0), f))
         t0 += note_dur
     return notes
@@ -86,23 +88,41 @@ def _karplus_strong(f0: float, n: int, sr: int, rng: np.random.Generator,
     return out
 
 
-def _piano_clip(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
-    """Struck-string clip: KS pairs slightly detuned, percussive envelope."""
+def _piano_clip(rng: np.random.Generator, n: int, sr: int,
+                variety: float = 0.0) -> np.ndarray:
+    """Struck-string clip: KS pairs slightly detuned, percussive envelope.
+
+    variety > 0 randomizes per-clip register (±5/+7 semitone transpose),
+    tempo, string decay, detune, octave-double level, hammer hardness and
+    envelope decay — so a corpus spans genuinely different pianos/registers
+    instead of one instrument replaying one tempo (the round-3 fixture)."""
     dur = n / sr
     clip = np.zeros(n)
+    v = float(variety)
+    # per-clip instrument/performance parameters (defaults = v=0 constants)
+    transpose = 2.0 ** (v * rng.uniform(-5, 7) / 12) if v else 1.0
+    tempo = rng.uniform(1 - 0.5 * v, 1 + 0.5 * v) if v else 1.0
+    ks_decay = 0.996 + v * rng.uniform(-0.002, 0.002) if v else 0.996
+    detune = 1.003 + v * rng.uniform(-0.002, 0.003) if v else 1.003
+    oct_amp = 0.5 + v * rng.uniform(-0.2, 0.2) if v else 0.5
+    env_decay = 1.6 * (rng.uniform(0.7, 1.4) if v else 1.0)
+    hammer_amp = 0.5 + v * rng.uniform(-0.25, 0.35) if v else 0.5
+    scale = (_MINOR if (v and rng.random() < 0.5) else _SCALE)
     # low register (the piano's energy mass sits low; KS damps highs fast)
-    for (t0, note_dur, f) in _melody(rng, dur, 0.2, 0.5, base=110.0):
+    for (t0, note_dur, f) in _melody(rng, dur, 0.2 * tempo, 0.5 * tempo,
+                                     base=110.0 * transpose, scale=scale):
         i0 = int(t0 * sr)
         # ring past the nominal note end, like a sustain pedal
         m = min(n - i0, int(sr * min(2.5, note_dur * 4)))
         if m <= 0:
             continue
-        s = (_karplus_strong(f, m, sr, rng)
-             + 0.6 * _karplus_strong(f * 1.003, m, sr, rng)
-             + 0.5 * _karplus_strong(f * 2.0, m, sr, rng))  # octave double
+        s = (_karplus_strong(f, m, sr, rng, decay=ks_decay)
+             + 0.6 * _karplus_strong(f * detune, m, sr, rng, decay=ks_decay)
+             + oct_amp * _karplus_strong(f * 2.0, m, sr, rng,
+                                         decay=ks_decay))  # octave double
         tt = np.arange(m) / sr
-        hammer = 1.0 + 0.5 * np.exp(-tt * 40.0)  # attack transient
-        s *= np.exp(-tt * 1.6) * hammer
+        hammer = 1.0 + hammer_amp * np.exp(-tt * 40.0)  # attack transient
+        s *= np.exp(-tt * env_decay) * hammer
         clip[i0:i0 + m] += 0.8 * s
     return clip
 
@@ -110,19 +130,37 @@ def _piano_clip(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
 _FORMANTS = ((300.0, 1.0), (700.0, 0.9), (1800.0, 0.55), (3200.0, 0.35))
 
 
-def _violin_clip(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+def _violin_clip(rng: np.random.Generator, n: int, sr: int,
+                 variety: float = 0.0) -> np.ndarray:
     """Bowed-string clip: sawtooth-weighted additive harmonics with body
-    formant emphasis, 5.5 Hz vibrato, bow-noise floor, slow attacks."""
+    formant emphasis, 5.5 Hz vibrato, bow-noise floor, slow attacks.
+
+    variety > 0 randomizes per-clip register, tempo, vibrato rate/depth,
+    body-formant emphasis, bow-noise level and attack/release times."""
     dur = n / sr
     clip = np.zeros(n)
+    v = float(variety)
+    transpose = 2.0 ** (v * rng.uniform(-5, 7) / 12) if v else 1.0
+    tempo = rng.uniform(1 - 0.5 * v, 1 + 0.5 * v) if v else 1.0
+    vib_rate = 5.5 + v * rng.uniform(-1.2, 1.5) if v else 5.5
+    vib_depth = 0.007 + v * rng.uniform(-0.003, 0.004) if v else 0.007
+    noise_amp = 0.02 + v * rng.uniform(-0.01, 0.02) if v else 0.02
+    attack = 0.06 * (rng.uniform(0.6, 1.8) if v else 1.0)
+    release = 0.05 * (rng.uniform(0.6, 1.8) if v else 1.0)
+    # per-clip body response: jitter each formant's gain (a different box)
+    formants = (tuple((fc, g * rng.uniform(1 - 0.4 * v, 1 + 0.4 * v))
+                      for fc, g in _FORMANTS) if v else _FORMANTS)
+    scale = (_MINOR if (v and rng.random() < 0.5) else _SCALE)
     # violin register sits well above the piano walk (A4 base)
-    for (t0, note_dur, f) in _melody(rng, dur, 0.3, 0.8, base=440.0):
+    for (t0, note_dur, f) in _melody(rng, dur, 0.3 * tempo, 0.8 * tempo,
+                                     base=440.0 * transpose, scale=scale):
         i0 = int(t0 * sr)
         m = min(n - i0, int(note_dur * sr))
         if m <= 0:
             continue
         tt = np.arange(m) / sr
-        vib = f * (1 + 0.007 * np.sin(2 * np.pi * 5.5 * tt + rng.uniform(0, 6)))
+        vib = f * (1 + vib_depth * np.sin(2 * np.pi * vib_rate * tt
+                                          + rng.uniform(0, 6)))
         phase = 2 * np.pi * np.cumsum(vib) / sr
         s = np.zeros(m)
         for h in range(1, 16):
@@ -131,11 +169,11 @@ def _violin_clip(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
                 break
             # sawtooth 1/h roll-off shaped by the nearest body formant
             w = max(0.08, max(g * np.exp(-((fh - fc) / fc) ** 2)
-                              for fc, g in _FORMANTS))
+                              for fc, g in formants))
             s += (w / h) * np.sin(h * phase)
         # bow noise: white noise amplitude-modulated by the fundamental
-        noise = rng.standard_normal(m) * 0.02 * (1 + 0.5 * np.sin(phase))
-        env = np.minimum(1.0, tt / 0.06) * np.minimum(1.0, (note_dur - tt) / 0.05)
+        noise = rng.standard_normal(m) * noise_amp * (1 + 0.5 * np.sin(phase))
+        env = np.minimum(1.0, tt / attack) * np.minimum(1.0, (note_dur - tt) / release)
         clip[i0:i0 + m] += (s + noise) * np.clip(env, 0, None)
     # sympathetic open-string resonance (A4/E5): a quiet sustained layer that
     # anchors the instrument's spectral signature across clips
@@ -154,12 +192,18 @@ def _violin_clip(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
 
 def make_wav_fixture(root: str, n_clips: int = 3,
                      cfg: AudioConfig = AudioConfig(), seed: int = 0,
-                     seconds: float = None) -> Tuple[str, str]:
+                     seconds: float = None,
+                     variety: float = 0.0) -> Tuple[str, str]:
     """Write deterministic synthetic piano/violin wav trees under `root`;
     returns (piano_dir, violin_dir). Piano clips are Karplus-Strong struck
     strings; violin clips are formant-shaped bowed-string tones — physically
     flavored enough that instrumentation/MFCC transfer metrics separate the
-    classes (unlike sine mixtures)."""
+    classes (unlike sine mixtures).
+
+    variety=0 (default) reproduces the round-3 fixtures bit-for-bit; at 1.0
+    each clip draws its own register (±5/+7 semitones), tempo, scale
+    (major/minor), string/bow parameters and body response — the corpus
+    spread a held-out-generalization training run needs."""
     rng = np.random.default_rng(seed)
     sr = cfg.sample_rate
     dur = cfg.clip_seconds if seconds is None else seconds
@@ -178,8 +222,8 @@ def make_wav_fixture(root: str, n_clips: int = 3,
 
     for i in range(n_clips):
         write_wav(os.path.join(piano_dir, f"piano_{i:03d}.wav"),
-                  _norm(_piano_clip(rng, n, sr)), sr)
+                  _norm(_piano_clip(rng, n, sr, variety=variety)), sr)
         write_wav(os.path.join(violin_dir, f"violin_{i:03d}.wav"),
-                  _norm(_violin_clip(rng, n, sr)), sr)
+                  _norm(_violin_clip(rng, n, sr, variety=variety)), sr)
 
     return piano_dir, violin_dir

@@ -72,7 +72,14 @@ def compute_stats(file_list: List[str], cfg: AudioConfig = AudioConfig(),
 
 
 def _split_and_pack(mean: np.ndarray, std: np.ndarray,
-                    cfg: AudioConfig) -> FeatureStats:
+                    cfg: AudioConfig, min_std: float = 0.0) -> FeatureStats:
+    # min_std floors near-zero stds. The reference's formula has no floor
+    # (real recordings never produce an all-silent bin across a corpus), but
+    # synthetic corpora do — z-scoring then divides ~0 by ~0 and amplifies
+    # numerical noise into huge feature values. 1e-2 is the validated value
+    # from the round-3 fixed-configuration run (docs/TRAINING.md).
+    if min_std > 0.0:
+        std = np.maximum(std, min_std)
     f = cfg.stft_bins
     return FeatureStats(
         stft_mean=mean[:, :f].astype(np.float32),
@@ -83,14 +90,15 @@ def _split_and_pack(mean: np.ndarray, std: np.ndarray,
 
 
 def compute_separated_stats(piano_dir: str, violin_dir: str, output_dir: str,
-                            cfg: AudioConfig = AudioConfig(), log=print) -> dict:
+                            cfg: AudioConfig = AudioConfig(), log=print,
+                            min_std: float = 0.0) -> dict:
     """Per-instrument stats -> stats_stft_cqt_{piano,violin}.npz (the files
     dataloader.py:43-44 reads)."""
     os.makedirs(output_dir, exist_ok=True)
     out = {}
     for name, directory in (("piano", piano_dir), ("violin", violin_dir)):
         mean, std = compute_stats(list_audio_files(directory), cfg, name, log)
-        stats = _split_and_pack(mean, std, cfg)
+        stats = _split_and_pack(mean, std, cfg, min_std)
         path = os.path.join(output_dir, f"stats_stft_cqt_{name}.npz")
         stats.save_npz(path)
         out[name] = path
@@ -99,13 +107,14 @@ def compute_separated_stats(piano_dir: str, violin_dir: str, output_dir: str,
 
 
 def compute_unified_stats(piano_dir: str, violin_dir: str, output_dir: str,
-                          cfg: AudioConfig = AudioConfig(), log=print) -> str:
+                          cfg: AudioConfig = AudioConfig(), log=print,
+                          min_std: float = 0.0) -> str:
     """Whole-train-set stats -> stats_unified_stft_cqt.npz
     (compute_unified_stats.py)."""
     os.makedirs(output_dir, exist_ok=True)
     files = list_audio_files(piano_dir) + list_audio_files(violin_dir)
     mean, std = compute_stats(files, cfg, "unified", log)
-    stats = _split_and_pack(mean, std, cfg)
+    stats = _split_and_pack(mean, std, cfg, min_std)
     path = os.path.join(output_dir, "stats_unified_stft_cqt.npz")
     stats.save_npz(path)
     log(f"Saved {path}")

@@ -47,6 +47,20 @@ def main():
     s.add_argument("output_dir")
     s.add_argument("--unified", action="store_true",
                    help="single combined npz instead of per-instrument")
+    s.add_argument("--min-std", type=float, default=0.0,
+                   help="floor for per-bin std (synthetic corpora have "
+                        "all-silent bins the reference's formula divides "
+                        "by zero on; 1e-2 is the validated value)")
+
+    s = sub.add_parser("synth", help="generate a synthetic piano/violin "
+                       "corpus (Karplus-Strong / bowed-string fixtures)")
+    s.add_argument("output_dir")
+    s.add_argument("--clips", type=int, default=16)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--seconds", type=float, default=None)
+    s.add_argument("--variety", type=float, default=0.0,
+                   help="0 = the fixed round-3 instrument pair; 1 = per-clip "
+                        "random register/tempo/scale/timbre")
 
     s = sub.add_parser("analyze", help="duration/RMS/sr/MFCC summary")
     s.add_argument("dirs", nargs="+")
@@ -81,10 +95,17 @@ def main():
     elif args.cmd == "stats":
         if args.unified:
             tools.compute_unified_stats(args.piano_dir, args.violin_dir,
-                                        args.output_dir)
+                                        args.output_dir, min_std=args.min_std)
         else:
             tools.compute_separated_stats(args.piano_dir, args.violin_dir,
-                                          args.output_dir)
+                                          args.output_dir,
+                                          min_std=args.min_std)
+    elif args.cmd == "synth":
+        from ast_tpu.data.synthetic import make_wav_fixture
+        p_dir, v_dir = make_wav_fixture(args.output_dir, n_clips=args.clips,
+                                        seed=args.seed, seconds=args.seconds,
+                                        variety=args.variety)
+        print(f"{args.clips} clips per class written to {p_dir} and {v_dir}")
     elif args.cmd == "analyze":
         for i, d in enumerate(args.dirs):
             stats = tools.analyze_dataset(d)

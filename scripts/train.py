@@ -24,9 +24,24 @@ def main():
                         "tree from device (~minutes), so sparse saves cut "
                         "wall time substantially for short runs")
     p.add_argument("--codec", choices=["linear", "conv"], default="linear")
+    p.add_argument("--warmup", type=int, default=500,
+                   help="LR warmup steps (TrainConfig.warmup_steps)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override ModelConfig.dropout (default 0.1)")
+    p.add_argument("--phase-epochs", type=int, nargs=3, default=None,
+                   metavar=("CONTRASTIVE", "HSIC", "ADV"),
+                   help="curriculum phase boundaries (default 10 20 30)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward compute (losses stay f32); ~2-3x "
                         "training throughput")
+    p.add_argument("--resident", action="store_true",
+                   help="decode + upload all waveforms to device ONCE and "
+                        "gather batches in HBM (long runs on relay-attached "
+                        "chips: per-epoch waveform re-upload dominates the "
+                        "step otherwise)")
+    p.add_argument("--metrics-dir", default=None,
+                   help="write per-epoch loss-component JSONL here")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--sync-checkpoint", action="store_true",
                    help="block training during orbax saves (default: the "
@@ -41,24 +56,39 @@ def main():
     from ast_tpu.train.loop import train
 
     cfg = Config()
-    model_cfg = (dataclasses.replace(cfg.model, dtype="bfloat16")
-                 if args.bf16 else cfg.model)
+    model_cfg = cfg.model
+    if args.bf16:
+        model_cfg = dataclasses.replace(model_cfg, dtype="bfloat16")
+    if args.dropout is not None:
+        model_cfg = dataclasses.replace(model_cfg, dropout=args.dropout)
+    curriculum = cfg.curriculum
+    if args.phase_epochs is not None:
+        curriculum = dataclasses.replace(
+            curriculum, phase_epochs=tuple(args.phase_epochs))
     cfg = dataclasses.replace(
-        cfg, model=model_cfg,
+        cfg, model=model_cfg, curriculum=curriculum,
         train=TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                           num_epochs=args.epochs,
+                          warmup_steps=args.warmup, seed=args.seed,
                           checkpoint_every=args.checkpoint_every))
     ds = DualInstrumentDataset.from_dirs(
         args.piano_dir, args.violin_dir, stats_dir=args.stats_dir,
         cfg=cfg.audio)
     print(f"dataset: {len(ds)} piano/violin pairs")
     S = cfg.audio.num_windows(cfg.audio.frames_per_clip)
-    train(cfg,
-          lambda epoch: balanced_batches(ds, args.batch_size, epoch=epoch),
+    if args.resident:
+        from ast_tpu.data.dataset import ResidentBatches
+
+        factory = ResidentBatches(ds, args.batch_size)
+    else:
+        factory = lambda epoch: balanced_batches(ds, args.batch_size,
+                                                 epoch=epoch)
+    train(cfg, factory,
           checkpoint_dir=args.checkpoint_dir,
           resume=not args.no_resume,
           codec=args.codec,
           sections_per_clip=S,
+          metrics_dir=args.metrics_dir,
           async_checkpoint=not args.sync_checkpoint)
 
 

@@ -291,3 +291,24 @@ def test_mp3_stereo_and_bitrates(tmp_path):
     for c, f_expect in [(0, 440.0), (1, 660.0)]:
         spec = np.abs(np.fft.rfft(y[c] * np.hanning(sr)))
         assert abs(spec.argmax() * sr / sr - f_expect) < 5.0
+
+
+def test_resident_batches_match_balanced(tmp_path):
+    """ResidentBatches (device-resident waveform banks, one gather+featurize
+    program per step) must yield exactly what balanced_batches yields for the
+    same seed/epoch — same shuffle, same features, same labels."""
+    from ast_tpu.data.dataset import ResidentBatches
+
+    piano_dir, violin_dir = make_wav_fixture(str(tmp_path), n_clips=4,
+                                             cfg=TINY_AUDIO)
+    ds = DualInstrumentDataset.from_dirs(piano_dir, violin_dir,
+                                         stats_dir=None, cfg=TINY_AUDIO)
+    factory = ResidentBatches(ds, batch_size=4, seed=3, log=lambda *_: None)
+    for epoch in (0, 1):
+        want = list(balanced_batches(ds, batch_size=4, seed=3, epoch=epoch))
+        got = list(factory(epoch))
+        assert len(got) == len(want) == 2
+        for (xg, lg), (xw, lw) in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
+            np.testing.assert_allclose(np.asarray(xg), np.asarray(xw),
+                                       atol=1e-6, rtol=1e-6)
