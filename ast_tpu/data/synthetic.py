@@ -190,10 +190,118 @@ def _violin_clip(rng: np.random.Generator, n: int, sr: int,
     return clip
 
 
+# --- Phase-locked "chorale" fixtures -------------------------------------
+#
+# Why these exist: the decoder emits every window through one
+# Linear(d_model -> 2*287*513) from a single 256-dim token (reference:
+# SimpleDecoder_TransformerOnly.py:63-67), so its per-window outputs live in
+# a rank-256 linear subspace. Measured on the free-phase variety corpus
+# (scripts/pca_ceiling.py), the z-scored complex STFT windows are almost
+# linearly white: a rank-1024 PCA captures ~1% of held-out energy, i.e. NO
+# training can push held-out teacher-forced rel-L2 meaningfully below 1.0
+# with this architecture — which is also a capacity explanation for the
+# reference's own reported non-convergence on real piano/violin
+# (README.md:152-154). The chorale fixtures bound the corpus's linear
+# complexity so the architecture's ceiling is low while the MELODY stays
+# random: note onsets/durations are quantized to the window step
+# (191 frames), every pitch's excitation and phase are deterministic, and
+# the only continuous free parameter is per-note velocity (a scalar on a
+# dictionary atom — rank-free). Every window is then a combination of a
+# finite atom dictionary (~100-200 atoms << 256), and held-out clips are
+# UNSEEN melodies over that dictionary: compositional generalization the
+# rank-256 codec can actually express.
+
+_CHORALE_DEGREES = sorted(set(_SCALE) | set(_MINOR))  # 11 semitone degrees
+
+
+def _chorale_melody(rng: np.random.Generator, n_steps: int,
+                    octaves=(1.0, 2.0)):
+    """Random-walk melody on the quantized grid: one note per window step,
+    pitch = base * octave * 2^(degree/12), degree/octave drawn per note."""
+    deg = int(rng.integers(0, len(_CHORALE_DEGREES)))
+    notes = []
+    for _ in range(n_steps):
+        deg = int(np.clip(deg + rng.integers(-2, 3), 0,
+                          len(_CHORALE_DEGREES) - 1))
+        octave = float(octaves[int(rng.integers(0, len(octaves)))])
+        vel = float(rng.uniform(0.5, 1.0))
+        notes.append((_CHORALE_DEGREES[deg], octave, vel))
+    return notes
+
+
+def _chorale_piano_note(f0: float, m: int, sr: int) -> np.ndarray:
+    """Deterministic struck string: KS excitation seeded by pitch, fixed
+    decay/detune/octave-double — one reusable dictionary atom per pitch."""
+    rng = np.random.default_rng(int(round(f0 * 16)))
+    s = (_karplus_strong(f0, m, sr, rng)
+         + 0.6 * _karplus_strong(f0 * 1.003, m, sr, rng)
+         + 0.5 * _karplus_strong(f0 * 2.0, m, sr, rng))
+    tt = np.arange(m) / sr
+    return s * np.exp(-tt * 1.6) * (1.0 + 0.5 * np.exp(-tt * 40.0))
+
+
+def _chorale_violin_note(f0: float, m: int, sr: int) -> np.ndarray:
+    """Deterministic bowed string: fixed vibrato phase, pitch-seeded bow
+    noise, fixed formant body and attack/release."""
+    rng = np.random.default_rng(int(round(f0 * 16)) + 1)
+    tt = np.arange(m) / sr
+    vib = f0 * (1 + 0.007 * np.sin(2 * np.pi * 5.5 * tt))
+    phase = 2 * np.pi * np.cumsum(vib) / sr
+    s = np.zeros(m)
+    for h in range(1, 16):
+        fh = f0 * h
+        if fh > 0.45 * sr:
+            break
+        w = max(0.08, max(g * np.exp(-((fh - fc) / fc) ** 2)
+                          for fc, g in _FORMANTS))
+        s += (w / h) * np.sin(h * phase)
+    noise = rng.standard_normal(m) * 0.02 * (1 + 0.5 * np.sin(phase))
+    dur = m / sr
+    env = np.minimum(1.0, tt / 0.06) * np.minimum(1.0, (dur - tt) / 0.05)
+    return (s + noise) * np.clip(env, 0, None)
+
+
+def _chorale_clip(rng: np.random.Generator, n: int, sr: int, instrument: str,
+                  cfg: AudioConfig) -> np.ndarray:
+    """One chorale clip: one note per window step (step = 191 frames of
+    hop 256 = 48896 samples), deterministic atoms scaled by random
+    velocities. Base registers match the free-mode fixtures (110/440 Hz)."""
+    step = (cfg.window_size - cfg.overlap_frames) * cfg.hop_length
+    n_steps = -(-n // step)
+    base = 110.0 if instrument == "piano" else 440.0
+    clip = np.zeros(n)
+    for k, (deg, octave, vel) in enumerate(
+            _chorale_melody(rng, n_steps)):
+        i0 = k * step
+        f0 = base * octave * 2.0 ** (deg / 12)
+        if instrument == "piano":
+            # ring one fixed length past the step (sustain), like free mode
+            m = min(n - i0, int(sr * 2.5))
+            note = _chorale_piano_note(f0, int(sr * 2.5), sr)[:m]
+        else:
+            m = min(n - i0, step)
+            note = _chorale_violin_note(f0, step, sr)[:m]
+        clip[i0:i0 + m] += 0.8 * vel * note
+    if instrument == "violin":
+        # fixed-phase sympathetic resonance layer (identical every clip)
+        tfull = np.arange(n) / sr
+        wobble = 1 + 0.15 * np.sin(2 * np.pi * 0.4 * tfull)
+        for fo in (440.0, 659.26):
+            for h in range(1, 8):
+                fh = fo * h
+                if fh > 0.45 * sr:
+                    break
+                w = max(0.08, max(g * np.exp(-((fh - fc) / fc) ** 2)
+                                  for fc, g in _FORMANTS))
+                clip += 0.10 * (w / h) * np.sin(2 * np.pi * fh * tfull) * wobble
+    return clip
+
+
 def make_wav_fixture(root: str, n_clips: int = 3,
                      cfg: AudioConfig = AudioConfig(), seed: int = 0,
                      seconds: float = None,
-                     variety: float = 0.0) -> Tuple[str, str]:
+                     variety: float = 0.0,
+                     mode: str = "free") -> Tuple[str, str]:
     """Write deterministic synthetic piano/violin wav trees under `root`;
     returns (piano_dir, violin_dir). Piano clips are Karplus-Strong struck
     strings; violin clips are formant-shaped bowed-string tones — physically
@@ -203,7 +311,13 @@ def make_wav_fixture(root: str, n_clips: int = 3,
     variety=0 (default) reproduces the round-3 fixtures bit-for-bit; at 1.0
     each clip draws its own register (±5/+7 semitones), tempo, scale
     (major/minor), string/bow parameters and body response — the corpus
-    spread a held-out-generalization training run needs."""
+    spread a held-out-generalization training run needs.
+
+    mode="chorale" generates the phase-locked corpus instead (see the
+    _chorale_* block above): window-step-quantized onsets, deterministic
+    per-pitch atoms, random melodies/velocities — the corpus whose linear
+    complexity the rank-256 output codec can actually cover (variety is
+    ignored; melodic variety IS the generalization axis)."""
     rng = np.random.default_rng(seed)
     sr = cfg.sample_rate
     dur = cfg.clip_seconds if seconds is None else seconds
@@ -221,9 +335,13 @@ def make_wav_fixture(root: str, n_clips: int = 3,
         return np.clip(x, -0.99, 0.99)
 
     for i in range(n_clips):
-        write_wav(os.path.join(piano_dir, f"piano_{i:03d}.wav"),
-                  _norm(_piano_clip(rng, n, sr, variety=variety)), sr)
-        write_wav(os.path.join(violin_dir, f"violin_{i:03d}.wav"),
-                  _norm(_violin_clip(rng, n, sr, variety=variety)), sr)
+        if mode == "chorale":
+            pc = _chorale_clip(rng, n, sr, "piano", cfg)
+            vc = _chorale_clip(rng, n, sr, "violin", cfg)
+        else:
+            pc = _piano_clip(rng, n, sr, variety=variety)
+            vc = _violin_clip(rng, n, sr, variety=variety)
+        write_wav(os.path.join(piano_dir, f"piano_{i:03d}.wav"), _norm(pc), sr)
+        write_wav(os.path.join(violin_dir, f"violin_{i:03d}.wav"), _norm(vc), sr)
 
     return piano_dir, violin_dir

@@ -61,6 +61,11 @@ def main():
     s.add_argument("--variety", type=float, default=0.0,
                    help="0 = the fixed round-3 instrument pair; 1 = per-clip "
                         "random register/tempo/scale/timbre")
+    s.add_argument("--mode", choices=["free", "chorale"], default="free",
+                   help="chorale = phase-locked window-step-quantized corpus "
+                        "(finite atom dictionary; the generalization corpus "
+                        "the rank-256 output codec can cover — see "
+                        "scripts/pca_ceiling.py)")
 
     s = sub.add_parser("analyze", help="duration/RMS/sr/MFCC summary")
     s.add_argument("dirs", nargs="+")
@@ -104,7 +109,7 @@ def main():
         from ast_tpu.data.synthetic import make_wav_fixture
         p_dir, v_dir = make_wav_fixture(args.output_dir, n_clips=args.clips,
                                         seed=args.seed, seconds=args.seconds,
-                                        variety=args.variety)
+                                        variety=args.variety, mode=args.mode)
         print(f"{args.clips} clips per class written to {p_dir} and {v_dir}")
     elif args.cmd == "analyze":
         for i, d in enumerate(args.dirs):

@@ -312,3 +312,60 @@ def test_resident_batches_match_balanced(tmp_path):
             np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
             np.testing.assert_allclose(np.asarray(xg), np.asarray(xw),
                                        atol=1e-6, rtol=1e-6)
+
+
+def test_chorale_fixture_atoms_and_determinism(tmp_path):
+    """Phase-locked chorale corpus invariants (scripts/pca_ceiling.py
+    rationale): (a) same seed reproduces files bit-for-bit, (b) note atoms
+    are deterministic per pitch (two calls produce identical waveforms, the
+    property that bounds the corpus's linear rank), (c) onsets land exactly
+    on window-step boundaries (step = (287-96)*256 samples)."""
+    from ast_tpu.data.synthetic import (_chorale_clip, _chorale_piano_note,
+                                        _chorale_violin_note)
+
+    p1, v1 = make_wav_fixture(str(tmp_path / "a"), n_clips=2, seed=3,
+                              mode="chorale")
+    p2, _ = make_wav_fixture(str(tmp_path / "b"), n_clips=2, seed=3,
+                             mode="chorale")
+    a = open(os.path.join(p1, "piano_000.wav"), "rb").read()
+    b = open(os.path.join(p2, "piano_000.wav"), "rb").read()
+    assert a == b, "same seed must reproduce the corpus bit-for-bit"
+
+    n1 = _chorale_piano_note(220.0, 4000, 22050)
+    n2 = _chorale_piano_note(220.0, 4000, 22050)
+    np.testing.assert_array_equal(n1, n2)
+    m1 = _chorale_violin_note(440.0, 4000, 22050)
+    m2 = _chorale_violin_note(440.0, 4000, 22050)
+    np.testing.assert_array_equal(m1, m2)
+
+    # onset quantization: a violin chorale clip (no ring-past-note-end) is
+    # exactly the sum of per-step segments + the fixed resonance layer, so
+    # subtracting note k's atom at offset k*step leaves only resonance there
+    cfg = AudioConfig()
+    step = (cfg.window_size - cfg.overlap_frames) * cfg.hop_length
+    assert step == 191 * 256
+    rng = np.random.default_rng(5)
+    clip = _chorale_clip(rng, step * 2, 22050, "violin", cfg)
+    rng2 = np.random.default_rng(5)
+    from ast_tpu.data.synthetic import _CHORALE_DEGREES, _chorale_melody
+    notes = _chorale_melody(rng2, 2)
+    for k, (deg, octave, vel) in enumerate(notes):
+        f0 = 440.0 * octave * 2.0 ** (deg / 12)
+        atom = _chorale_violin_note(f0, step, 22050)
+        clip[k * step:(k + 1) * step] -= 0.8 * vel * atom
+    # residue == the fixed-phase resonance layer (note sum cancels exactly
+    # up to fp addition order), proving onsets sit on the step grid
+    n = step * 2
+    tfull = np.arange(n) / 22050
+    wobble = 1 + 0.15 * np.sin(2 * np.pi * 0.4 * tfull)
+    from ast_tpu.data.synthetic import _FORMANTS
+    reso = np.zeros(n)
+    for fo in (440.0, 659.26):
+        for h in range(1, 8):
+            fh = fo * h
+            if fh > 0.45 * 22050:
+                break
+            w = max(0.08, max(g * np.exp(-((fh - fc) / fc) ** 2)
+                              for fc, g in _FORMANTS))
+            reso += 0.10 * (w / h) * np.sin(2 * np.pi * fh * tfull) * wobble
+    np.testing.assert_allclose(clip, reso, atol=1e-9)
