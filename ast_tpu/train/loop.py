@@ -113,8 +113,11 @@ def train(
         if n_batches == 0:
             raise ValueError("batch_iter_factory produced no batches")
 
-        dt = time.perf_counter() - t0
+        # the metric fetch synchronizes with the device, so it belongs inside
+        # the timed region — dispatches are async and on a relay-attached
+        # chip the raw dispatch loop can run 10-50x faster than the compute
         avg = {k: float(v) / n_batches for k, v in running.items()}
+        dt = time.perf_counter() - t0
         mlog.log(int(state.step), {**avg, "epoch": epoch + 1,
                                    "steps_per_sec": n_batches / dt})
         log(f"epoch {epoch + 1}/{cfg.train.num_epochs} "
