@@ -221,10 +221,22 @@ class TrainConfig:
     disc_learning_rate: float = 1e-4
     weight_decay: float = 0.0
     warmup_steps: int = 500
+    # cosine-decay the generator LR from its peak to lr/10 over this many
+    # steps after warmup; 0 = constant after warmup (the reconstructed
+    # reference recipe). Set from the CLI as epochs * steps_per_epoch.
+    lr_decay_steps: int = 0
     grad_clip_norm: float = 1.0
     num_epochs: int = 100
     checkpoint_every: int = 10
     seed: int = 0
+    # Scheduled sampling (capability add; the reference trains pure teacher
+    # forcing, which leaves the AR rollout untrained against its own
+    # feedback errors): max probability of feeding the decoder its own
+    # REENCODED prediction (the ar_feedback="reencode" rollout transform)
+    # instead of the teacher frame, ramped linearly from 0 over
+    # scheduled_sampling_ramp_epochs. 0 = off (faithful recipe).
+    scheduled_sampling: float = 0.0
+    scheduled_sampling_ramp_epochs: int = 100
     # mesh axis sizes; (n, 1) = pure data parallel
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
     # Pipeline-parallel decoder-stack training: > 1 routes the decoder

@@ -253,36 +253,72 @@ class Decoder(nn.Module):
     # ---- teacher-forced training path (reference: SimpleDecoder…:80-100) ----
 
     def __call__(self, content_emb, class_emb, y=None, target_length=None,
-                 train: bool = False, core_fn=None):
+                 train: bool = False, core_fn=None, sample_p=None,
+                 sample_rng=None):
         memory = self.prepare_memory(content_emb, class_emb, train=train)
         if y is not None and train:
             return self.forward_training(y, memory, train=train,
-                                         core_fn=core_fn)
+                                         core_fn=core_fn, sample_p=sample_p,
+                                         sample_rng=sample_rng)
         if y is not None:
-            # eval-mode teacher forcing (used by reconstruction eval)
+            # eval-mode teacher forcing (used by reconstruction eval);
+            # sample_p passes through so the scheduled-sampling transform is
+            # testable deterministically
             return self.forward_training(y, memory, train=False,
-                                         core_fn=core_fn)
+                                         core_fn=core_fn, sample_p=sample_p,
+                                         sample_rng=sample_rng)
         raise ValueError(
             "autoregressive inference goes through ast_tpu.models.decoder."
             "autoregressive_decode (lax.scan KV-cache path), not __call__")
 
-    def forward_training(self, y, memory, train: bool = False, core_fn=None):
+    def forward_training(self, y, memory, train: bool = False, core_fn=None,
+                         sample_p=None, sample_rng=None):
         """core_fn, when given, replaces self.core's sequential stack with an
         externally-parallelized implementation of the same math — the
         pipeline-parallel training path (parallel/pipeline.py) passes the
         GPipe forward here so pre/post-core pieces (codec, shift, PE, norms)
-        stay inside this module's variable scope."""
+        stay inside this module's variable scope.
+
+        sample_p (a traced scalar in [0, 1]) turns on scheduled sampling
+        (Bengio et al. 2015), a capability the reference lacks: a first
+        teacher-forced pass produces the model's own frame predictions, and
+        the input at each position is then the REENCODED prediction —
+        input_norm(PE(encode(decode(.)))), the exact ar_feedback="reencode"
+        rollout transform — with probability sample_p, else the teacher
+        input. This trains the decoder to track its own rollout: without it
+        a decoder that is accurate under teacher forcing can still compound
+        feedback error autoregressively (the reference's train/inference
+        mismatch, SimpleDecoder_TransformerOnly.py:102-125 vs :80-100).
+        Sampled embeddings carry no gradient (standard stop-gradient)."""
         B, S = y.shape[:2]
         y_emb = self.frame_codec.encode(y, train=train)  # (B, S, d)
         start = jnp.broadcast_to(self.start_token.astype(y_emb.dtype),
                                  (B, 1, self.cfg.d_model))
         y_shift = jnp.concatenate([start, y_emb[:, :-1, :]], axis=1)
-        y_shift = self.input_norm(self.pos(y_shift))
-        if core_fn is None:
-            dec = self.core(y_shift, memory, causal_mask(S),
-                            deterministic=not train)
-        else:
-            dec = core_fn(y_shift, memory)
+        x = self.input_norm(self.pos(y_shift))
+
+        def run_core(xx):
+            if core_fn is None:
+                return self.core(xx, memory, causal_mask(S),
+                                 deterministic=not train)
+            return core_fn(xx, memory)
+
+        if sample_p is not None:
+            if sample_rng is None:
+                raise ValueError("scheduled sampling requires sample_rng")
+            dec1 = run_core(x)
+            frames = self.frame_codec.decode(self.output_norm(dec1),
+                                             train=train)
+            pred_emb = self.frame_codec.encode(frames, train=train)
+            pred_shift = jnp.concatenate(
+                [start, jax.lax.stop_gradient(pred_emb[:, :-1, :])], axis=1)
+            x_ss = self.input_norm(self.pos(pred_shift))
+            take = jax.random.bernoulli(sample_rng, sample_p, (B, S, 1))
+            # position 0 is the start token on both branches, so the mask
+            # may freely cover it
+            x = jnp.where(take, x_ss, x)
+
+        dec = run_core(x)
         return self.generate_output(dec, train=train)
 
     # ---- KV-cache decode pieces (called via .apply inside lax.scan) ----

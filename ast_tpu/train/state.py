@@ -60,6 +60,17 @@ def make_optimizers(cfg: Config):
         cfg.train.learning_rate,
         cfg.train.warmup_steps,
     )
+    if cfg.train.lr_decay_steps > 0:
+        # cosine decay from the peak to lr/10 after warmup — squeezes the
+        # late-training reconstruction error the constant schedule leaves on
+        # the table (see docs/TRAINING.md chorale runs)
+        sched = optax.join_schedules(
+            [sched,
+             optax.cosine_decay_schedule(
+                 cfg.train.learning_rate, cfg.train.lr_decay_steps,
+                 alpha=0.1)],
+            [cfg.train.warmup_steps],
+        )
     gen_tx = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
         optax.adamw(sched, weight_decay=cfg.train.weight_decay),

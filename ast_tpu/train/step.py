@@ -41,7 +41,8 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
     stft_bins = cfg.model.stft_bins
     pipe_stages = cfg.train.pipe_stages
 
-    def apply_generator(gen_params, state: TrainState, x, labels, rng):
+    def apply_generator(gen_params, state: TrainState, x, labels, rng,
+                        curriculum=None):
         """Run encoders + teacher-forced decoder, returning losses' inputs and
         updated batch_stats/spectral collections."""
         r_c, r_s, r_d = jax.random.split(rng, 3)
@@ -80,9 +81,17 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
         # (the decoder regenerates only the 513 STFT bins,
         # SimpleDecoder_TransformerOnly.py:13,59)
         y = x[..., :stft_bins]
+        sample_p, sample_rng = None, None
+        if cfg.train.scheduled_sampling > 0.0:
+            # ramped per-epoch probability travels as a traced curriculum
+            # scalar; the static config gate keeps the faithful (p=0) path
+            # one-pass
+            r_d, sample_rng = jax.random.split(r_d)
+            sample_p = curriculum["ss_p"]
         y_pred, dec_mut = models.decoder.apply(
             decoder_vars, content_emb, class_emb[labels], y, None, True,
-            core_fn, mutable=["batch_stats", "spectral"],
+            core_fn, sample_p, sample_rng,
+            mutable=["batch_stats", "spectral"],
             rngs={"dropout": r_d})
 
         muts = (style_mut, content_mut, dec_mut)
@@ -95,7 +104,7 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
 
     def gen_loss_fn(gen_params, state: TrainState, x, labels, curriculum, rng):
         style_emb, class_emb, content_emb, y, y_pred, muts = apply_generator(
-            gen_params, state, x, labels, rng)
+            gen_params, state, x, labels, rng, curriculum)
 
         recon = compute_comprehensive_loss(y_pred, y, lw)
         nce = infonce_loss(style_emb, labels, lw.infonce_temperature)
@@ -292,4 +301,6 @@ def make_grad_accum_train_step(cfg: Config, models: Models, accum_steps: int,
 
 def curriculum_scalars(cfg: Config, epoch: int) -> Dict[str, jnp.ndarray]:
     w = cfg.curriculum.weights_at(epoch)
+    ramp = max(1, cfg.train.scheduled_sampling_ramp_epochs)
+    w["ss_p"] = cfg.train.scheduled_sampling * min(1.0, epoch / ramp)
     return {k: jnp.asarray(v, jnp.float32) for k, v in w.items()}

@@ -32,6 +32,16 @@ def main():
     p.add_argument("--phase-epochs", type=int, nargs=3, default=None,
                    metavar=("CONTRASTIVE", "HSIC", "ADV"),
                    help="curriculum phase boundaries (default 10 20 30)")
+    p.add_argument("--scheduled-sampling", type=float, default=0.0,
+                   help="max probability of feeding the decoder its own "
+                        "reencoded prediction instead of the teacher frame "
+                        "(trains the AR rollout to track TF; 0 = faithful "
+                        "pure teacher forcing)")
+    p.add_argument("--ss-ramp", type=int, default=100,
+                   help="epochs to ramp scheduled sampling from 0 to max")
+    p.add_argument("--lr-decay", action="store_true",
+                   help="cosine-decay the generator LR to lr/10 over the "
+                        "run (after warmup); default: constant after warmup")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 forward compute (losses stay f32); ~2-3x "
                         "training throughput")
@@ -65,16 +75,22 @@ def main():
     if args.phase_epochs is not None:
         curriculum = dataclasses.replace(
             curriculum, phase_epochs=tuple(args.phase_epochs))
+    ds = DualInstrumentDataset.from_dirs(
+        args.piano_dir, args.violin_dir, stats_dir=args.stats_dir,
+        cfg=cfg.audio)
+    print(f"dataset: {len(ds)} piano/violin pairs")
+    steps_per_epoch = max(1, len(ds) // max(1, args.batch_size // 2))
+    decay_steps = (args.epochs * steps_per_epoch - args.warmup
+                   if args.lr_decay else 0)
     cfg = dataclasses.replace(
         cfg, model=model_cfg, curriculum=curriculum,
         train=TrainConfig(batch_size=args.batch_size, learning_rate=args.lr,
                           num_epochs=args.epochs,
                           warmup_steps=args.warmup, seed=args.seed,
-                          checkpoint_every=args.checkpoint_every))
-    ds = DualInstrumentDataset.from_dirs(
-        args.piano_dir, args.violin_dir, stats_dir=args.stats_dir,
-        cfg=cfg.audio)
-    print(f"dataset: {len(ds)} piano/violin pairs")
+                          checkpoint_every=args.checkpoint_every,
+                          lr_decay_steps=max(0, decay_steps),
+                          scheduled_sampling=args.scheduled_sampling,
+                          scheduled_sampling_ramp_epochs=args.ss_ramp))
     S = cfg.audio.num_windows(cfg.audio.frames_per_clip)
     if args.resident:
         from ast_tpu.data.dataset import ResidentBatches

@@ -84,7 +84,8 @@ def test_curriculum_schedule():
     w4 = cfg.curriculum.weights_at(100)
     assert w4["adversarial"] == 1.0
     scal = curriculum_scalars(cfg, 35)
-    assert set(scal) == {"contrastive", "hsic", "adversarial"}
+    assert set(scal) == {"contrastive", "hsic", "adversarial", "ss_p"}
+    assert float(scal["ss_p"]) == 0.0  # faithful default: no sampling
 
 
 @pytest.mark.slow
@@ -128,3 +129,71 @@ def test_train_step_conv_codec(rng):
     new = jax.tree.leaves(new_state.decoder["params"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(old, new))
+
+
+def test_scheduled_sampling_step_and_schedule(rng):
+    """Scheduled sampling (TrainConfig.scheduled_sampling > 0): the two-pass
+    step runs, losses stay finite, the ramp scalar follows
+    epoch/ramp_epochs, and p=0 through the SS path reproduces the plain
+    teacher-forced forward exactly (dropout off)."""
+    from ast_tpu.config import TrainConfig
+    from ast_tpu.models.decoder import Decoder
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        model=dataclasses.replace(TINY_CFG.model, dropout=0.0),
+        train=TrainConfig(batch_size=4, scheduled_sampling=0.5,
+                          scheduled_sampling_ramp_epochs=10,
+                          lr_decay_steps=50))
+    # ramp scalar
+    assert float(curriculum_scalars(cfg, 0)["ss_p"]) == 0.0
+    assert abs(float(curriculum_scalars(cfg, 5)["ss_p"]) - 0.25) < 1e-6
+    assert float(curriculum_scalars(cfg, 100)["ss_p"]) == 0.5
+
+    models = Models.create(cfg)
+    state = init_state(cfg, models, jax.random.PRNGKey(0), sections_per_clip=3)
+    step = make_train_step(cfg, models)
+    x, labels = _batch(rng, cfg)
+    state2, metrics = step(state, x, labels, curriculum_scalars(cfg, 5))
+    assert np.isfinite(float(metrics["loss/total"]))
+    assert int(state2.step) == int(state.step) + 1
+
+    # p=0 through the SS code path == the plain one-pass TF forward
+    m = cfg.model
+    B, S = 2, 3
+    content = jnp.asarray(rng.standard_normal((B, S, m.d_model)), jnp.float32)
+    cls = jnp.asarray(rng.standard_normal((B, m.d_model)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, S, 2, m.window_size, m.stft_bins)),
+                    jnp.float32)
+    dec = Decoder(m, codec="linear")
+    variables = dec.init(jax.random.PRNGKey(1), content, cls, y)
+    plain = dec.apply(variables, content, cls, y, None, False)
+    ss0 = dec.apply(variables, content, cls, y, None, False, None,
+                    jnp.asarray(0.0), jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(ss0),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_scheduled_sampling_p1_matches_reencode_oracle(rng):
+    """At p=1 every non-start input is the reencoded model prediction from a
+    teacher-forced pass — i.e. ONE iteration of the iterated-teacher-forcing
+    oracle. Check against the manual two-pass construction."""
+    from ast_tpu.models.decoder import Decoder
+
+    m = dataclasses.replace(TINY_CFG.model, dropout=0.0)
+    B, S = 2, 3
+    content = jnp.asarray(rng.standard_normal((B, S, m.d_model)), jnp.float32)
+    cls = jnp.asarray(rng.standard_normal((B, m.d_model)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, S, 2, m.window_size, m.stft_bins)),
+                    jnp.float32)
+    dec = Decoder(m, codec="linear")
+    variables = dec.init(jax.random.PRNGKey(1), content, cls, y)
+
+    got = dec.apply(variables, content, cls, y, None, False, None,
+                    jnp.asarray(1.0), jax.random.PRNGKey(2))
+
+    # oracle: TF pass -> predicted frames -> TF pass on those frames
+    pred = dec.apply(variables, content, cls, y, None, False)
+    want = dec.apply(variables, content, cls, pred, None, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
