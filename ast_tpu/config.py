@@ -172,6 +172,29 @@ class ModelConfig:
         )
 
 
+def resolve_dtype(dtype: str) -> str:
+    """Resolve an inference-dtype knob: "auto" means bfloat16 on TPU-like
+    backends, float32 everywhere else.
+
+    bf16 on the inference batch core was measured at -10.6% device compute
+    (demo/roofline_b32_bf16.json) with a 0.9% waveform rel-L2 delta vs fp32
+    — the accuracy gate lives in tests/test_inference.py
+    (test_bf16_pipeline_matches_f32) and bench.py re-measures the delta on
+    every run, falling back to fp32 if it ever exceeds the gate. On CPU the
+    emulated bf16 is slower AND the win was never measured there, so "auto"
+    stays fp32. Params are float32 regardless (ModelConfig.dtype is the
+    forward-compute dtype only)."""
+    if dtype != "auto":
+        return dtype
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - uninitialized backend
+        return "float32"
+    return "bfloat16" if backend in ("tpu", "axon") else "float32"
+
+
 @dataclasses.dataclass(frozen=True)
 class LossWeights:
     """Loss weighting (reference: losses.py + SimpleDecoder…:195-201 and the

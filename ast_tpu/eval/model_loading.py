@@ -30,7 +30,17 @@ def load_eval_bundle(cfg: Config, checkpoint_dir: Optional[str] = None,
                      checkpoint_path: Optional[str] = None,
                      codec: str = "linear", seed: int = 0,
                      sections_per_clip: int = 4,
+                     dtype: Optional[str] = None,
                      log=print) -> EvalBundle:
+    """dtype, when given, overrides ModelConfig.dtype for the forward
+    compute ("auto" resolves per backend — config.resolve_dtype; params and
+    checkpoint storage stay float32 either way)."""
+    if dtype is not None:
+        from ast_tpu.config import resolve_dtype
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           dtype=resolve_dtype(dtype)))
     models = Models.create(cfg, codec=codec)
     state = init_state(cfg, models, jax.random.PRNGKey(seed),
                        sections_per_clip=sections_per_clip)

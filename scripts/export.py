@@ -59,15 +59,25 @@ def main():
     p.add_argument("--normalize", metavar="STATS_DIR", default=None,
                    help="bake feature normalization with training stats from "
                         "this directory into the programs")
+    p.add_argument("--dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="forward-compute dtype baked into the exported "
+                        "programs; auto = bfloat16 when exporting on/for a "
+                        "TPU backend (accuracy-gated, docs/PERFORMANCE.md), "
+                        "float32 elsewhere")
     args = p.parse_args()
+
+    import dataclasses as _dc
 
     import jax
 
-    from ast_tpu.config import Config
+    from ast_tpu.config import Config, resolve_dtype
     from ast_tpu.eval.inference import StyleTransferPipeline
     from ast_tpu.export import export_pipeline
 
     cfg = Config()
+    cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                             dtype=resolve_dtype(args.dtype)))
     protos = None
     if args.torch_checkpoint:
         from ast_tpu.compat.torch_import import load_torch_checkpoint

@@ -25,6 +25,11 @@ def main():
                    help="normalize inference features with training stats "
                         "from this directory (the reference never does; see "
                         "PARITY.md quirks)")
+    p.add_argument("--dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="forward-compute dtype; auto = bfloat16 on TPU "
+                        "(accuracy-gated, see docs/PERFORMANCE.md), "
+                        "float32 elsewhere")
     args = p.parse_args()
 
     import numpy as np
@@ -35,7 +40,9 @@ def main():
     from ast_tpu.eval.model_loading import load_eval_bundle
 
     cfg = Config()
-    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
+    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir,
+                              dtype=args.dtype)
+    cfg = bundle.cfg  # dtype-resolved
     protos = bundle.class_prototypes
     if protos is None:
         print("No class prototypes in checkpoint; using random prototypes "

@@ -145,6 +145,36 @@ def test_bfloat16_forward():
     assert np.isfinite(out).all()
 
 
+def test_bf16_pipeline_matches_f32():
+    """The accuracy gate behind the dtype="auto" inference default: bfloat16
+    forward compute on the SAME float32 params must stay within a few percent
+    of the f32 waveform (full-size TPU measurement: 0.9% rel-L2,
+    demo/roofline_b32_bf16.json; bench.py re-measures the delta every run and
+    falls back to f32 past 3%)."""
+    pipe32 = StyleTransferPipeline.init_random(TINY, seed=0)
+    cfg16 = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY.model, dtype="bfloat16"))
+    pipe16 = StyleTransferPipeline.from_variables(
+        cfg16, pipe32.content_vars, pipe32.decoder_vars,
+        pipe32.class_embeddings, stats=pipe32.stats)
+    rng = np.random.default_rng(1)
+    wav = (0.1 * rng.standard_normal(TINY_AUDIO.clip_samples)).astype(np.float32)
+    a = np.asarray(pipe32.process_audio(wav, 1))
+    b = np.asarray(pipe16.process_audio(wav, 1))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.05, rel
+
+
+def test_resolve_dtype():
+    from ast_tpu.config import resolve_dtype
+
+    assert resolve_dtype("float32") == "float32"
+    assert resolve_dtype("bfloat16") == "bfloat16"
+    # tests run on the CPU backend (conftest pins JAX_PLATFORMS=cpu), where
+    # auto must stay f32 — the bf16 win/accuracy trade was measured on TPU
+    assert resolve_dtype("auto") == "float32"
+
+
 def test_pcm16_single_clip_input(audio_clip):
     pipe = StyleTransferPipeline.init_random(TINY, seed=0)
     wav = audio_clip[: TINY_AUDIO.clip_samples]
