@@ -260,6 +260,13 @@ class TrainConfig:
     # scheduled_sampling_ramp_epochs. 0 = off (faithful recipe).
     scheduled_sampling: float = 0.0
     scheduled_sampling_ramp_epochs: int = 100
+    # Feedback iterations for scheduled sampling. 1 = classic one-step
+    # scheduled sampling. >= S-1 (with scheduled_sampling=1.0) makes the
+    # sampled forward EQUAL the reencode autoregressive rollout (causal
+    # induction: iteration k fixes input positions <= k), so the loss trains
+    # the true rollout; the train step then mixes the teacher-forced loss
+    # and the rollout loss 50/50 (models/decoder.py forward_training).
+    scheduled_sampling_iterations: int = 1
     # mesh axis sizes; (n, 1) = pure data parallel
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
     # Pipeline-parallel decoder-stack training: > 1 routes the decoder

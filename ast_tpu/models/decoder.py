@@ -254,25 +254,32 @@ class Decoder(nn.Module):
 
     def __call__(self, content_emb, class_emb, y=None, target_length=None,
                  train: bool = False, core_fn=None, sample_p=None,
-                 sample_rng=None):
+                 sample_rng=None, sample_iterations: int = 1,
+                 return_tf: bool = False):
         memory = self.prepare_memory(content_emb, class_emb, train=train)
         if y is not None and train:
             return self.forward_training(y, memory, train=train,
                                          core_fn=core_fn, sample_p=sample_p,
-                                         sample_rng=sample_rng)
+                                         sample_rng=sample_rng,
+                                         sample_iterations=sample_iterations,
+                                         return_tf=return_tf)
         if y is not None:
             # eval-mode teacher forcing (used by reconstruction eval);
             # sample_p passes through so the scheduled-sampling transform is
             # testable deterministically
             return self.forward_training(y, memory, train=False,
                                          core_fn=core_fn, sample_p=sample_p,
-                                         sample_rng=sample_rng)
+                                         sample_rng=sample_rng,
+                                         sample_iterations=sample_iterations,
+                                         return_tf=return_tf)
         raise ValueError(
             "autoregressive inference goes through ast_tpu.models.decoder."
             "autoregressive_decode (lax.scan KV-cache path), not __call__")
 
     def forward_training(self, y, memory, train: bool = False, core_fn=None,
-                         sample_p=None, sample_rng=None):
+                         sample_p=None, sample_rng=None,
+                         sample_iterations: int = 1,
+                         return_tf: bool = False):
         """core_fn, when given, replaces self.core's sequential stack with an
         externally-parallelized implementation of the same math — the
         pipeline-parallel training path (parallel/pipeline.py) passes the
@@ -280,7 +287,7 @@ class Decoder(nn.Module):
         stay inside this module's variable scope.
 
         sample_p (a traced scalar in [0, 1]) turns on scheduled sampling
-        (Bengio et al. 2015), a capability the reference lacks: a first
+        (Bengio et al. 2015), a capability the reference lacks: a
         teacher-forced pass produces the model's own frame predictions, and
         the input at each position is then the REENCODED prediction —
         input_norm(PE(encode(decode(.)))), the exact ar_feedback="reencode"
@@ -289,13 +296,28 @@ class Decoder(nn.Module):
         a decoder that is accurate under teacher forcing can still compound
         feedback error autoregressively (the reference's train/inference
         mismatch, SimpleDecoder_TransformerOnly.py:102-125 vs :80-100).
-        Sampled embeddings carry no gradient (standard stop-gradient)."""
+        Sampled embeddings carry no gradient (standard stop-gradient).
+
+        sample_iterations (static) iterates the feedback map: each iteration
+        re-runs the core on inputs rebuilt from the PREVIOUS iteration's
+        predictions (sampled positions only; un-sampled positions stay the
+        teacher input every iteration). Because the mask is causal, inputs
+        at positions <= k are exactly the autoregressive rollout's after k
+        iterations, so with sample_p == 1 and sample_iterations >= S-1 the
+        returned frames EQUAL autoregressive_decode(feedback="reencode") —
+        the training loss then optimizes the true rollout, not a one-step
+        approximation of it (tests/test_train_step.py pins the equality).
+
+        return_tf additionally returns the plain teacher-forced frames (the
+        first iteration's predictions) so the train step can mix a TF loss
+        with the rollout loss without a second apply."""
         B, S = y.shape[:2]
         y_emb = self.frame_codec.encode(y, train=train)  # (B, S, d)
         start = jnp.broadcast_to(self.start_token.astype(y_emb.dtype),
                                  (B, 1, self.cfg.d_model))
         y_shift = jnp.concatenate([start, y_emb[:, :-1, :]], axis=1)
-        x = self.input_norm(self.pos(y_shift))
+        x_tf = self.input_norm(self.pos(y_shift))
+        x = x_tf
 
         def run_core(xx):
             if core_fn is None:
@@ -303,23 +325,33 @@ class Decoder(nn.Module):
                                  deterministic=not train)
             return core_fn(xx, memory)
 
+        dec_tf = None
         if sample_p is not None:
             if sample_rng is None:
                 raise ValueError("scheduled sampling requires sample_rng")
-            dec1 = run_core(x)
-            frames = self.frame_codec.decode(self.output_norm(dec1),
-                                             train=train)
-            pred_emb = self.frame_codec.encode(frames, train=train)
-            pred_shift = jnp.concatenate(
-                [start, jax.lax.stop_gradient(pred_emb[:, :-1, :])], axis=1)
-            x_ss = self.input_norm(self.pos(pred_shift))
             take = jax.random.bernoulli(sample_rng, sample_p, (B, S, 1))
-            # position 0 is the start token on both branches, so the mask
-            # may freely cover it
-            x = jnp.where(take, x_ss, x)
+            for k in range(max(1, int(sample_iterations))):
+                dec_k = run_core(x)
+                if k == 0:
+                    dec_tf = dec_k
+                frames = self.frame_codec.decode(self.output_norm(dec_k),
+                                                 train=train)
+                pred_emb = self.frame_codec.encode(frames, train=train)
+                pred_shift = jnp.concatenate(
+                    [start, jax.lax.stop_gradient(pred_emb[:, :-1, :])],
+                    axis=1)
+                x_ss = self.input_norm(self.pos(pred_shift))
+                # position 0 is the start token on both branches, so the
+                # mask may freely cover it
+                x = jnp.where(take, x_ss, x_tf)
 
         dec = run_core(x)
-        return self.generate_output(dec, train=train)
+        out = self.generate_output(dec, train=train)
+        if return_tf:
+            out_tf = (self.generate_output(dec_tf, train=train)
+                      if dec_tf is not None else out)
+            return out, out_tf
+        return out
 
     # ---- KV-cache decode pieces (called via .apply inside lax.scan) ----
 

@@ -82,17 +82,25 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
         # SimpleDecoder_TransformerOnly.py:13,59)
         y = x[..., :stft_bins]
         sample_p, sample_rng = None, None
+        sample_iters = max(1, cfg.train.scheduled_sampling_iterations)
         if cfg.train.scheduled_sampling > 0.0:
             # ramped per-epoch probability travels as a traced curriculum
             # scalar; the static config gate keeps the faithful (p=0) path
             # one-pass
             r_d, sample_rng = jax.random.split(r_d)
             sample_p = curriculum["ss_p"]
+        # iterated scheduled sampling (sample_iterations >= S-1 at p=1 ==
+        # the exact reencode rollout) returns BOTH the rollout and the
+        # teacher-forced frames so the loss can train them 50/50
+        rollout_mode = sample_p is not None and sample_iters > 1
         y_pred, dec_mut = models.decoder.apply(
             decoder_vars, content_emb, class_emb[labels], y, None, True,
-            core_fn, sample_p, sample_rng,
+            core_fn, sample_p, sample_rng, sample_iters, rollout_mode,
             mutable=["batch_stats", "spectral"],
             rngs={"dropout": r_d})
+        y_pred_tf = None
+        if rollout_mode:
+            y_pred, y_pred_tf = y_pred
 
         muts = (style_mut, content_mut, dec_mut)
         # losses always accumulate in f32 even when the forward computes in
@@ -100,13 +108,24 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
         # precision-sensitive
         f32 = lambda t: t.astype(jnp.float32)
         return (f32(style_emb), f32(class_emb), f32(content_emb), f32(y),
-                f32(y_pred), muts)
+                f32(y_pred),
+                (f32(y_pred_tf) if y_pred_tf is not None else None), muts)
 
     def gen_loss_fn(gen_params, state: TrainState, x, labels, curriculum, rng):
-        style_emb, class_emb, content_emb, y, y_pred, muts = apply_generator(
-            gen_params, state, x, labels, rng, curriculum)
+        (style_emb, class_emb, content_emb, y, y_pred, y_pred_tf,
+         muts) = apply_generator(gen_params, state, x, labels, rng,
+                                 curriculum)
 
         recon = compute_comprehensive_loss(y_pred, y, lw)
+        if y_pred_tf is not None:
+            # iterated-sampling (rollout) mode: train the teacher-forced
+            # path and the rollout path equally — TF keeps the per-frame
+            # fit sharp, the rollout term closes the AR tracking gap
+            recon_tf = compute_comprehensive_loss(y_pred_tf, y, lw)
+            rollout_mse = recon["mse_loss"]
+            recon = jax.tree.map(lambda a, b: 0.5 * (a + b), recon, recon_tf)
+            recon["mse_rollout"] = rollout_mse
+            recon["mse_tf"] = recon_tf["mse_loss"]
         nce = infonce_loss(style_emb, labels, lw.infonce_temperature)
         marg = margin_loss(class_emb, lw.margin_value)
         hsic = disentanglement_loss(style_emb, content_emb.mean(axis=1))
@@ -144,6 +163,9 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
             "loss/hsic": hsic,
             "loss/adv_gen": adv_gen,
         }
+        if "mse_rollout" in recon:
+            metrics["loss/mse_rollout"] = recon["mse_rollout"]
+            metrics["loss/mse_tf"] = recon["mse_tf"]
         aux = (metrics, muts, (style_emb, class_emb, content_emb))
         return total, aux
 

@@ -39,6 +39,11 @@ def main():
                         "pure teacher forcing)")
     p.add_argument("--ss-ramp", type=int, default=100,
                    help="epochs to ramp scheduled sampling from 0 to max")
+    p.add_argument("--ss-iterations", type=int, default=1,
+                   help="feedback iterations for scheduled sampling; "
+                        ">= S-1 with --scheduled-sampling 1.0 trains the "
+                        "EXACT reencode autoregressive rollout (the train "
+                        "step then mixes TF and rollout losses 50/50)")
     p.add_argument("--lr-decay", action="store_true",
                    help="cosine-decay the generator LR to lr/10 over the "
                         "run (after warmup); default: constant after warmup")
@@ -90,7 +95,8 @@ def main():
                           checkpoint_every=args.checkpoint_every,
                           lr_decay_steps=max(0, decay_steps),
                           scheduled_sampling=args.scheduled_sampling,
-                          scheduled_sampling_ramp_epochs=args.ss_ramp))
+                          scheduled_sampling_ramp_epochs=args.ss_ramp,
+                          scheduled_sampling_iterations=args.ss_iterations))
     S = cfg.audio.num_windows(cfg.audio.frames_per_clip)
     if args.resident:
         from ast_tpu.data.dataset import ResidentBatches

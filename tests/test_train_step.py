@@ -197,3 +197,54 @@ def test_scheduled_sampling_p1_matches_reencode_oracle(rng):
     want = dec.apply(variables, content, cls, pred, None, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_iterated_sampling_equals_reencode_rollout(rng):
+    """The round-4 rollout-training transform: at p=1 with S-1 feedback
+    iterations, the iterated-scheduled-sampling forward EQUALS the reencode
+    autoregressive rollout (causal induction — iteration k fixes input
+    positions <= k), so the training loss optimizes the true rollout."""
+    from ast_tpu.models.decoder import Decoder, autoregressive_decode
+
+    m = dataclasses.replace(TINY_CFG.model, dropout=0.0,
+                            ar_feedback="reencode")
+    B, S = 2, 4
+    content = jnp.asarray(rng.standard_normal((B, S, m.d_model)), jnp.float32)
+    cls = jnp.asarray(rng.standard_normal((B, m.d_model)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((B, S, 2, m.window_size, m.stft_bins)),
+                    jnp.float32)
+    dec = Decoder(m, codec="linear")
+    variables = dec.init(jax.random.PRNGKey(1), content, cls, y)
+
+    got, got_tf = dec.apply(variables, content, cls, y, None, False, None,
+                            jnp.asarray(1.0), jax.random.PRNGKey(2), S - 1,
+                            True)
+    want = autoregressive_decode(dec, variables, content, cls, S,
+                                 feedback="reencode")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+    # the returned TF branch is the plain teacher-forced forward
+    plain = dec.apply(variables, content, cls, y, None, False)
+    np.testing.assert_allclose(np.asarray(got_tf), np.asarray(plain),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_rollout_train_step_runs(rng):
+    """Full GAN step with iterated scheduled sampling: rollout + TF losses
+    both logged, finite, and the step advances."""
+    from ast_tpu.config import TrainConfig
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        train=TrainConfig(batch_size=4, scheduled_sampling=1.0,
+                          scheduled_sampling_ramp_epochs=1,
+                          scheduled_sampling_iterations=2))
+    models = Models.create(cfg)
+    state = init_state(cfg, models, jax.random.PRNGKey(0), sections_per_clip=3)
+    step = make_train_step(cfg, models)
+    x, labels = _batch(rng, cfg)
+    state2, metrics = step(state, x, labels, curriculum_scalars(cfg, 50))
+    assert np.isfinite(float(metrics["loss/total"]))
+    assert np.isfinite(float(metrics["loss/mse_rollout"]))
+    assert np.isfinite(float(metrics["loss/mse_tf"]))
+    assert int(state2.step) == int(state.step) + 1
