@@ -24,9 +24,11 @@ by sqrt(length)). Two evaluation algorithms are provided:
   the algorithm the reference's `librosa.cqt` actually runs
   (reference: utilityFunctions.py:39-60) and 5.6x faster batched on TPU
   (octaves shrink the FFT work geometrically), so the feature pipelines
-  default to it via `AudioConfig.cqt_algorithm`. Known remaining deviations
-  from librosa: the 2:1 decimator is polyphase-Kaiser rather than soxr_hq,
-  and the basis is kept dense (librosa sparsifies at quantile 0.01).
+  default to it via `AudioConfig.cqt_algorithm`. The FFT-domain basis is
+  sparsified at librosa's 0.01 quantile (`_build_fft_basis` ->
+  `_sparsify_rows`, matching librosa's `util.sparsify_rows`). Known
+  remaining deviation from librosa: the 2:1 decimator is polyphase-Kaiser
+  rather than soxr_hq.
   Measured recursive-vs-direct deltas are recorded in PARITY.md and pinned
   by tests/test_cqt.py.
 
