@@ -267,6 +267,14 @@ class TrainConfig:
     # the true rollout; the train step then mixes the teacher-forced loss
     # and the rollout loss 50/50 (models/decoder.py forward_training).
     scheduled_sampling_iterations: int = 1
+    # Weight of the rollout loss in iterated-sampling mode: recon =
+    # (1-w)*TF + w*rollout. 0.5 (the original 50/50 mix) trains tracking
+    # hardest but measurably stalls TF optimization (the round-4 ss run
+    # plateaued at mse_tf 0.79 where the pure-TF run reached 0.31); smaller
+    # weights preserve TF fidelity while still training the rollout — the
+    # round-5 recipe fine-tunes a converged pure-TF checkpoint at w=0.5
+    # for a short phase instead of mixing from scratch.
+    rollout_weight: float = 0.5
     # mesh axis sizes; (n, 1) = pure data parallel
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
     # Pipeline-parallel decoder-stack training: > 1 routes the decoder

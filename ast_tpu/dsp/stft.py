@@ -143,6 +143,61 @@ def irfft_matmul(spec: jnp.ndarray, n_fft: int,
     return out.reshape(*lead, n_fft)
 
 
+def rfft_conv(x_padded: jnp.ndarray, n_fft: int, hop: int,
+              window: jnp.ndarray,
+              precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Windowed rfft of a (..., n_samples) PADDED signal as ONE strided
+    convolution — framing, window multiply, and DFT fused.
+
+    The matmul path (rfft_matmul) must materialize the framed signal
+    (frames duplicate the signal n_fft/hop = 4x) and the windowed product
+    before the GEMM; at B=32 that is ~0.45 GB of HBM traffic the roofline
+    charges to the STFT stage (docs/PERFORMANCE.md: 3.59x its floor). Here
+    the Hann window is folded into the DFT weights (w[n]*cos/sin) and the
+    framing is the conv's stride — XLA's TPU conv reads the signal once and
+    patches on the fly. Returns (..., n_frames, n_fft//2+1) complex."""
+    c, s = _rdft_mats(n_fft)
+    k = window[:, None].astype(jnp.float32)
+    cs = jnp.concatenate([k * c, k * s], axis=1)     # (n_fft, 2*(nb))
+    lead = x_padded.shape[:-1]
+    lhs = x_padded.reshape(-1, 1, x_padded.shape[-1])   # (N, C=1, W)
+    rhs = cs.T[:, None, :]                              # (O, I=1, KW)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NWC"), precision=precision)
+    n_bins = n_fft // 2 + 1
+    out = out.reshape(*lead, out.shape[-2], 2 * n_bins)
+    return jax.lax.complex(out[..., :n_bins], out[..., n_bins:])
+
+
+def irfft_conv(spec: jnp.ndarray, n_fft: int, hop: int,
+               window: jnp.ndarray,
+               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Windowed irfft + overlap-add of a (..., n_frames, n_bins) one-sided
+    spectrum as ONE transposed convolution — the exact adjoint of
+    rfft_conv's framing, so the scatter-add OLA, the window multiply, and
+    the inverse DFT all fuse into a single MXU op. Returns the UNNORMALIZED
+    overlap-added signal of length n_fft + hop*(n_frames-1) (the caller
+    divides by the squared-window envelope, as torch.istft does)."""
+    a, b = _irdft_mats(n_fft)
+    k = window[None, :].astype(jnp.float32)
+    ab = jnp.concatenate([a * k, b * k], axis=0)     # (2*nb, n_fft)
+    ri = jnp.concatenate([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    lead = ri.shape[:-2]
+    n_frames = ri.shape[-2]
+    lhs = ri.reshape(-1, n_frames, ri.shape[-1])        # (N, W=T, C=2nb)
+    # kernel in the FORWARD conv's (O=2nb, I=1, KW) orientation;
+    # transpose_kernel=True makes this the exact adjoint of rfft_conv's
+    # strided conv (scatter-add of windowed frames at stride hop)
+    rhs = ab[:, None, :]
+    out = jax.lax.conv_transpose(
+        lhs, rhs, strides=(hop,), padding="VALID",
+        dimension_numbers=("NWC", "OIW", "NCW"),
+        transpose_kernel=True, precision=precision)
+    total = n_fft + hop * (n_frames - 1)
+    return out.reshape(*lead, total)
+
+
 def _ct_factors(n: int) -> tuple[int, int]:
     """Split n = n1*n2 with n1, n2 as square as possible (powers of two)."""
     import math
@@ -254,8 +309,15 @@ def stft(
     ~2x faster on TPU than jnp.fft at ~2e-3 relative error)."""
     if window is None:
         window = hann_window(n_fft, dtype=x.dtype)
-    frames = frame_signal(x, n_fft, hop_length, center=center)
     method = resolve_dft_method(method)
+    if method == "conv":
+        if center:
+            pad = n_fft // 2
+            pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+            x = jnp.pad(x, pad_widths, mode="reflect")
+        return rfft_conv(x, n_fft, hop_length, window,
+                         dot_precision(precision))
+    frames = frame_signal(x, n_fft, hop_length, center=center)
     if method == "matmul":
         return rfft_matmul(frames * window, n_fft, dot_precision(precision))
     if method == "ct":
@@ -347,14 +409,28 @@ def istft(
         window = hann_window(n_fft)
 
     method = resolve_dft_method(method)
+    total = n_fft + hop_length * (n_frames - 1)
+    if method == "conv":
+        lead_shape = spec.shape[:-2]
+        out = irfft_conv(spec.reshape((-1,) + spec.shape[-2:]), n_fft,
+                         hop_length, window, dot_precision(precision))
+        env = jnp.asarray(_ola_envelope(n_frames, n_fft, hop_length))
+        out = out / jnp.where(env > 1e-11, env, 1.0)
+        if center:
+            pad = n_fft // 2
+            out = out[:, pad : total - pad]
+        if length is not None:
+            out = out[:, :length]
+            deficit = length - out.shape[1]
+            if deficit > 0:
+                out = jnp.pad(out, ((0, 0), (0, deficit)))
+        return out.reshape(lead_shape + (out.shape[-1],))
     if method == "matmul":
         frames = irfft_matmul(spec, n_fft, dot_precision(precision)) * window
     elif method == "ct":
         frames = irfft_ct(spec, n_fft, dot_precision(precision)) * window
     else:
         frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
-
-    total = n_fft + hop_length * (n_frames - 1)
 
     lead_shape = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))

@@ -97,7 +97,10 @@ def _subvars(variables, name: str):
 def _irfft(spec: jnp.ndarray, n_fft: int, method: str, precision) -> jnp.ndarray:
     """The same inverse-DFT dispatch istft() uses (dsp/stft.py:349-355)."""
     method = resolve_dft_method(method)
-    if method == "matmul":
+    if method in ("matmul", "conv"):
+        # the stream step OLAs frames itself (it carries an overlap tail
+        # across chunks), so the fused conv-transpose formulation does not
+        # apply here; "conv" degrades to the per-frame matmul inverse
         return irfft_matmul(spec, n_fft, dot_precision(precision))
     if method == "ct":
         return irfft_ct(spec, n_fft, dot_precision(precision))

@@ -118,12 +118,15 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
 
         recon = compute_comprehensive_loss(y_pred, y, lw)
         if y_pred_tf is not None:
-            # iterated-sampling (rollout) mode: train the teacher-forced
-            # path and the rollout path equally — TF keeps the per-frame
-            # fit sharp, the rollout term closes the AR tracking gap
+            # iterated-sampling (rollout) mode: mix the teacher-forced and
+            # rollout losses — TF keeps the per-frame fit sharp, the rollout
+            # term closes the AR tracking gap. The mix is
+            # TrainConfig.rollout_weight (0.5 = the original 50/50).
+            w = cfg.train.rollout_weight
             recon_tf = compute_comprehensive_loss(y_pred_tf, y, lw)
             rollout_mse = recon["mse_loss"]
-            recon = jax.tree.map(lambda a, b: 0.5 * (a + b), recon, recon_tf)
+            recon = jax.tree.map(lambda a, b: w * a + (1.0 - w) * b,
+                                 recon, recon_tf)
             recon["mse_rollout"] = rollout_mse
             recon["mse_tf"] = recon_tf["mse_loss"]
         nce = infonce_loss(style_emb, labels, lw.infonce_temperature)

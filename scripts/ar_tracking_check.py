@@ -29,7 +29,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--test-dir", required=True,
                    help="dir with piano/ and violin/ subdirs")
-    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="load the LATEST checkpoint in this dir")
+    p.add_argument("--checkpoint-path", default=None,
+                   help="load this exact checkpoint (e.g. one epoch of a "
+                        "run, for tracking-vs-epoch curves)")
     p.add_argument("--out", default="demo/ar_tracking")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--stats-dir", default="train_set_stats")
@@ -46,8 +50,11 @@ def main():
     from ast_tpu.eval.model_loading import load_eval_bundle
     from ast_tpu.models.decoder import autoregressive_decode
 
+    if not args.checkpoint_dir and not args.checkpoint_path:
+        p.error("one of --checkpoint-dir / --checkpoint-path is required")
     cfg = Config().unfaithful() if args.unfaithful else Config()
-    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir)
+    bundle = load_eval_bundle(cfg, checkpoint_dir=args.checkpoint_dir,
+                              checkpoint_path=args.checkpoint_path)
     models, state = bundle.models, bundle.state
 
     ds = DualInstrumentDataset.from_dirs(

@@ -44,6 +44,9 @@ def main():
                         ">= S-1 with --scheduled-sampling 1.0 trains the "
                         "EXACT reencode autoregressive rollout (the train "
                         "step then mixes TF and rollout losses 50/50)")
+    p.add_argument("--ss-rollout-weight", type=float, default=0.5,
+                   help="weight of the rollout loss in iterated-sampling "
+                        "mode: recon = (1-w)*TF + w*rollout (default 0.5)")
     p.add_argument("--lr-decay", action="store_true",
                    help="cosine-decay the generator LR to lr/10 over the "
                         "run (after warmup); default: constant after warmup")
@@ -96,7 +99,8 @@ def main():
                           lr_decay_steps=max(0, decay_steps),
                           scheduled_sampling=args.scheduled_sampling,
                           scheduled_sampling_ramp_epochs=args.ss_ramp,
-                          scheduled_sampling_iterations=args.ss_iterations))
+                          scheduled_sampling_iterations=args.ss_iterations,
+                          rollout_weight=args.ss_rollout_weight))
     S = cfg.audio.num_windows(cfg.audio.frames_per_clip)
     if args.resident:
         from ast_tpu.data.dataset import ResidentBatches

@@ -110,6 +110,30 @@ def test_matmul_precision_levels():
     assert float(jnp.abs(wa - wb).max() / (jnp.abs(wa).max() + 1e-12)) < 5e-4
 
 
+def test_conv_dft_matches_fft():
+    """The fused-conv path (method="conv": framing+window+DFT as one strided
+    conv; inverse irfft+window+OLA as its conv_transpose adjoint) must agree
+    with the FFT path on forward AND inverse, batched."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 22050)).astype(np.float32))
+    a = S.stft(x, method="fft")
+    b = S.stft(x, method="conv")
+    assert b.shape == a.shape
+    assert float(jnp.abs(a - b).max() / jnp.abs(a).max()) < 5e-4
+    wa = S.istft(a, method="fft", length=22050)
+    wb = S.istft(a, method="conv", length=22050)
+    assert wb.shape == wa.shape
+    assert float(jnp.abs(wa - wb).max() / (jnp.abs(wa).max() + 1e-12)) < 5e-4
+    # full roundtrip through the conv pair reconstructs the interior
+    wrt = S.istft(b, method="conv", length=22050)
+    interior = slice(1024, -1024)
+    num = float(jnp.linalg.norm(wrt[:, interior] - x[:, interior]))
+    den = float(jnp.linalg.norm(x[:, interior]))
+    assert num / den < 1e-3
+
+
 def test_resolve_dft_method_auto():
     """"auto" picks the MXU matmul on TPU and the FFT elsewhere (these
     tests run on forced-CPU, so auto → fft here); explicit choices pass
