@@ -145,6 +145,7 @@ def test_bfloat16_forward():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_bf16_pipeline_matches_f32():
     """The accuracy gate behind the dtype="auto" inference default: bfloat16
     forward compute on the SAME float32 params must stay within a few percent
@@ -185,6 +186,7 @@ def test_pcm16_single_clip_input(audio_clip):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_inference_normalization_option(audio_clip):
     import dataclasses as dc
 

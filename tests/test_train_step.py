@@ -131,11 +131,12 @@ def test_train_step_conv_codec(rng):
                for a, b in zip(old, new))
 
 
-def test_scheduled_sampling_step_and_schedule(rng):
-    """Scheduled sampling (TrainConfig.scheduled_sampling > 0): the two-pass
-    step runs, losses stay finite, the ramp scalar follows
-    epoch/ramp_epochs, and p=0 through the SS path reproduces the plain
-    teacher-forced forward exactly (dropout off)."""
+def test_scheduled_sampling_schedule_and_p0(rng):
+    """Scheduled sampling semantics, decoder-level (fast): the ramp scalar
+    follows epoch/ramp_epochs and p=0 through the SS path reproduces the
+    plain teacher-forced forward exactly (dropout off). The full GAN-step
+    compile with sampling on lives in the slow tier
+    (test_scheduled_sampling_full_step)."""
     from ast_tpu.config import TrainConfig
     from ast_tpu.models.decoder import Decoder
 
@@ -149,14 +150,6 @@ def test_scheduled_sampling_step_and_schedule(rng):
     assert float(curriculum_scalars(cfg, 0)["ss_p"]) == 0.0
     assert abs(float(curriculum_scalars(cfg, 5)["ss_p"]) - 0.25) < 1e-6
     assert float(curriculum_scalars(cfg, 100)["ss_p"]) == 0.5
-
-    models = Models.create(cfg)
-    state = init_state(cfg, models, jax.random.PRNGKey(0), sections_per_clip=3)
-    step = make_train_step(cfg, models)
-    x, labels = _batch(rng, cfg)
-    state2, metrics = step(state, x, labels, curriculum_scalars(cfg, 5))
-    assert np.isfinite(float(metrics["loss/total"]))
-    assert int(state2.step) == int(state.step) + 1
 
     # p=0 through the SS code path == the plain one-pass TF forward
     m = cfg.model
@@ -172,6 +165,29 @@ def test_scheduled_sampling_step_and_schedule(rng):
                     jnp.asarray(0.0), jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.asarray(plain), np.asarray(ss0),
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_scheduled_sampling_full_step(rng):
+    """Full GAN step with the sampling transform active: losses finite, step
+    advances. Slow tier — this compiles a second full train-step program
+    (~2 min of XLA CPU compile); the sampling semantics are pinned fast by
+    test_scheduled_sampling_schedule_and_p0 and the p=1/iterated tests."""
+    from ast_tpu.config import TrainConfig
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        model=dataclasses.replace(TINY_CFG.model, dropout=0.0),
+        train=TrainConfig(batch_size=4, scheduled_sampling=0.5,
+                          scheduled_sampling_ramp_epochs=10,
+                          lr_decay_steps=50))
+    models = Models.create(cfg)
+    state = init_state(cfg, models, jax.random.PRNGKey(0), sections_per_clip=3)
+    step = make_train_step(cfg, models)
+    x, labels = _batch(rng, cfg)
+    state2, metrics = step(state, x, labels, curriculum_scalars(cfg, 5))
+    assert np.isfinite(float(metrics["loss/total"]))
+    assert int(state2.step) == int(state.step) + 1
 
 
 def test_scheduled_sampling_p1_matches_reencode_oracle(rng):
@@ -229,9 +245,13 @@ def test_iterated_sampling_equals_reencode_rollout(rng):
                                atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_rollout_train_step_runs(rng):
     """Full GAN step with iterated scheduled sampling: rollout + TF losses
-    both logged, finite, and the step advances."""
+    both logged, finite, and the step advances. Slow tier — the iterated
+    two-pass step is the single longest XLA CPU compile in the suite
+    (~4 min); the rollout-equals-AR semantics are pinned fast by
+    test_iterated_sampling_equals_reencode_rollout."""
     from ast_tpu.config import TrainConfig
 
     cfg = dataclasses.replace(
