@@ -1,10 +1,15 @@
 """On-device STFT / inverse STFT.
 
 TPU-native replacement for the reference's `torch.stft` / `torch.istft` calls
-(reference: utilityFunctions.py:12-37, 62-82). Everything is pure jnp — a
-single gather + batched rFFT for the forward, a scatter-add OLA with
-window-envelope normalization for the inverse — so both ends jit, fuse, and
-run on TPU instead of round-tripping through ATen on the host.
+(reference: utilityFunctions.py:12-37, 62-82). Everything is pure jnp and
+jittable; both directions offer several MXU-resident evaluations selected by
+`method`: "fft" (strided-slice framing + jnp.fft), "matmul" (DFT as one MXU
+matmul — the TPU default via "auto"; XLA's TPU IRFFT is numerically broken
+at large batch, see AudioConfig.stft_method), "ct" (two-stage Cooley-Tukey
+matmuls), and "conv" (framing+window+DFT fused into one strided conv, the
+inverse as its exact conv_transpose adjoint — no materialized frames
+tensor). The inverse uses a scatter-free chunked overlap-add (shifted
+pad+adds) with torch's squared-window-envelope normalization.
 
 Semantics are pinned to torch defaults (verified by golden tests in
 tests/test_stft.py):

@@ -4,8 +4,11 @@ overlap-average reconstruction.
 TPU-native rework of the reference's Python loops
 (reference: utilityFunctions.py:240-263 `get_overlap_windows`,
 utilityFunctions.py:265-283 `sections2spectrogram`): the slice loop becomes a
-single static gather (one XLA op), the reconstruction loop a scatter-add with
-a precomputed per-frame count — both jittable and batchable.
+single static gather (one XLA op); the reconstruction loop becomes S shifted
+pad+adds (pure elementwise, fuses in XLA) for the common small-S case, with a
+single scatter-add fallback for minute-scale clips (S > 32, where an
+unrolled pad chain would bloat the HLO), divided by a precomputed per-frame
+count — all jittable and batchable.
 
 Semantics preserved exactly:
   * step = window_size - overlap
