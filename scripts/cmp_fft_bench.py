@@ -48,7 +48,8 @@ def main():
 
     results = {}
     out_ref = None
-    for method in ("fft", "ct"):
+    methods = tuple(os.environ.get("METHODS", "fft,ct").split(","))
+    for method in methods:
         cfg = Config()
         cfg = dataclasses.replace(
             cfg, audio=dataclasses.replace(cfg.audio, stft_method=method))
@@ -68,7 +69,7 @@ def main():
             out_ref = out
         else:
             delta = np.abs(out - out_ref).mean() / (np.abs(out_ref).mean() + 1e-12)
-            print(f"waveform rel-L1 delta vs fft path: {delta:.2e}")
+            print(f"waveform rel-L1 delta vs {methods[0]} path: {delta:.2e}")
         results[method] = ms
         print(f"stft_method={method:7s}: {ms:8.2f} ms  ({ms / B:.3f} ms/clip)")
 
