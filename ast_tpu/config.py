@@ -275,6 +275,14 @@ class TrainConfig:
     # round-5 recipe fine-tunes a converged pure-TF checkpoint at w=0.5
     # for a short phase instead of mixing from scratch.
     rollout_weight: float = 0.5
+    # Rollout->TF consistency distillation (iterated-sampling mode only):
+    # adds  w * mse(rollout, stop_gradient(TF))  to the generator loss.
+    # The rollout/TF recon mix above pulls both branches toward the TARGET;
+    # this term additionally pulls the rollout toward the (frozen)
+    # teacher-forced output itself — the quantity AR-vs-TF tracking
+    # measures (scripts/ar_tracking_check.py) — without perturbing the TF
+    # fit (no gradient flows through the TF branch). 0 = off.
+    rollout_consistency_weight: float = 0.0
     # mesh axis sizes; (n, 1) = pure data parallel
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
     # Pipeline-parallel decoder-stack training: > 1 routes the decoder

@@ -129,6 +129,16 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
                                  recon, recon_tf)
             recon["mse_rollout"] = rollout_mse
             recon["mse_tf"] = recon_tf["mse_loss"]
+            if cfg.train.rollout_consistency_weight > 0.0:
+                # distill the rollout toward the FROZEN teacher-forced
+                # output — the AR-vs-TF tracking quantity itself; stop_grad
+                # keeps the TF fit undisturbed (TrainConfig comment).
+                consist = jnp.mean(jnp.square(
+                    y_pred - jax.lax.stop_gradient(y_pred_tf)))
+                recon["consistency"] = consist
+                recon["total_loss"] = (
+                    recon["total_loss"]
+                    + cfg.train.rollout_consistency_weight * consist)
         nce = infonce_loss(style_emb, labels, lw.infonce_temperature)
         marg = margin_loss(class_emb, lw.margin_value)
         hsic = disentanglement_loss(style_emb, content_emb.mean(axis=1))
@@ -169,6 +179,8 @@ def _build_loss_fns(cfg: Config, models: Models, mesh=None):
         if "mse_rollout" in recon:
             metrics["loss/mse_rollout"] = recon["mse_rollout"]
             metrics["loss/mse_tf"] = recon["mse_tf"]
+        if "consistency" in recon:
+            metrics["loss/consistency"] = recon["consistency"]
         aux = (metrics, muts, (style_emb, class_emb, content_emb))
         return total, aux
 

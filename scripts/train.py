@@ -47,6 +47,11 @@ def main():
     p.add_argument("--ss-rollout-weight", type=float, default=0.5,
                    help="weight of the rollout loss in iterated-sampling "
                         "mode: recon = (1-w)*TF + w*rollout (default 0.5)")
+    p.add_argument("--ss-consistency-weight", type=float, default=0.0,
+                   help="rollout->TF distillation: adds w * mse(rollout, "
+                        "stop_grad(TF)) — trains the AR-vs-TF tracking "
+                        "quantity directly without perturbing the TF fit "
+                        "(iterated-sampling mode only; 0 = off)")
     p.add_argument("--lr-decay", action="store_true",
                    help="cosine-decay the generator LR to lr/10 over the "
                         "run (after warmup); default: constant after warmup")
@@ -100,7 +105,9 @@ def main():
                           scheduled_sampling=args.scheduled_sampling,
                           scheduled_sampling_ramp_epochs=args.ss_ramp,
                           scheduled_sampling_iterations=args.ss_iterations,
-                          rollout_weight=args.ss_rollout_weight))
+                          rollout_weight=args.ss_rollout_weight,
+                          rollout_consistency_weight=(
+                              args.ss_consistency_weight)))
     S = cfg.audio.num_windows(cfg.audio.frames_per_clip)
     if args.resident:
         from ast_tpu.data.dataset import ResidentBatches

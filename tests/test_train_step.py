@@ -245,6 +245,45 @@ def test_iterated_sampling_equals_reencode_rollout(rng):
                                atol=1e-6, rtol=1e-6)
 
 
+def test_rollout_consistency_distills_toward_tf(rng):
+    """TrainConfig.rollout_consistency_weight adds exactly
+    w * mse(rollout, stop_grad(TF)) to the generator loss and logs it as
+    loss/consistency (eager loss-fn check — no train-step compile)."""
+    from ast_tpu.config import TrainConfig
+    from ast_tpu.train.step import _build_loss_fns
+
+    def make(wc):
+        return dataclasses.replace(
+            TINY_CFG,
+            model=dataclasses.replace(TINY_CFG.model, dropout=0.0,
+                                      ar_feedback="reencode"),
+            train=TrainConfig(batch_size=4, scheduled_sampling=1.0,
+                              scheduled_sampling_ramp_epochs=1,
+                              scheduled_sampling_iterations=2,
+                              rollout_consistency_weight=wc))
+
+    cfg0, cfg1 = make(0.0), make(0.7)
+    models = Models.create(cfg0)
+    state = init_state(cfg0, models, jax.random.PRNGKey(0),
+                       sections_per_clip=3)
+    x, labels = _batch(rng, cfg0)
+    curr = curriculum_scalars(cfg0, 5)  # past the 1-epoch ramp: p = 1.0
+    gen_params = {"style": state.style["params"],
+                  "content": state.content["params"],
+                  "decoder": state.decoder["params"]}
+    key = jax.random.PRNGKey(3)
+
+    loss0, (m0, _, _) = _build_loss_fns(cfg0, models)[0](
+        gen_params, state, x, labels, curr, key)
+    loss1, (m1, _, _) = _build_loss_fns(cfg1, models)[0](
+        gen_params, state, x, labels, curr, key)
+    assert "loss/consistency" not in m0
+    consist = float(m1["loss/consistency"])
+    assert np.isfinite(consist) and consist > 0.0
+    np.testing.assert_allclose(float(loss1) - float(loss0), 0.7 * consist,
+                               rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_rollout_train_step_runs(rng):
     """Full GAN step with iterated scheduled sampling: rollout + TF losses
