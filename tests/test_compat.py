@@ -5,6 +5,7 @@ assembled from torch built-ins with the reference's parameter names)."""
 import dataclasses
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -187,6 +188,7 @@ def test_conv_decoder_import_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_reference_initialize():
     import jax
 

@@ -85,6 +85,7 @@ def test_pipeline_rejects_indivisible_layers():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pipeline_dropout_live_and_per_microbatch():
     """deterministic=False must actually drop (and differ per key), while
     staying finite — the training-path contract (ADVICE r3: wiring the

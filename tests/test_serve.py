@@ -509,6 +509,7 @@ def test_batcher_mixed_bucket_fairness():
         batcher.stop()
 
 
+@pytest.mark.slow
 def test_concurrent_streams_coalesce_and_match_solo():
     """VERDICT r3 #4: N concurrent live streams must ride ONE vmapped device
     call per window (not N serialized steps) AND each session's output must

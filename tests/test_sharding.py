@@ -45,6 +45,7 @@ def test_mesh_degrades_to_dp_on_device_mismatch():
         make_mesh((4, 2), devices=one, strict=True)
 
 
+@pytest.mark.slow
 def test_codec_param_sharding_rule():
     cfg = TINY_CFG
     models = Models.create(cfg)

@@ -265,8 +265,8 @@ def test_rollout_consistency_distills_toward_tf(rng):
     cfg0, cfg1 = make(0.0), make(0.7)
     models = Models.create(cfg0)
     state = init_state(cfg0, models, jax.random.PRNGKey(0),
-                       sections_per_clip=3)
-    x, labels = _batch(rng, cfg0)
+                       sections_per_clip=2)
+    x, labels = _batch(rng, cfg0, S=2)  # iters 2 >= S-1: exact rollout
     curr = curriculum_scalars(cfg0, 5)  # past the 1-epoch ramp: p = 1.0
     gen_params = {"style": state.style["params"],
                   "content": state.content["params"],
