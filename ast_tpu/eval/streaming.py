@@ -182,7 +182,10 @@ def _build_stream_step_fn(pipe: StyleTransferPipeline, K: int, margin: int,
         tokens = jnp.where(full, jnp.roll(state.tokens, -1, axis=0),
                            state.tokens)
         pos = jnp.minimum(state.n_windows, K - 1)
-        tokens = jax.lax.dynamic_update_slice(tokens, token[None], (pos, 0))
+        # the state rings stay f32 across steps (stable jit signature and
+        # full-precision accumulation) even when the model computes in bf16
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, token[None].astype(tokens.dtype), (pos, 0))
         n_valid = jnp.minimum(state.n_windows + 1, K)
         key_invalid = jnp.arange(K) >= n_valid
         content_emb = content_sequence(content_vars, tokens, key_invalid)
@@ -211,10 +214,12 @@ def _build_stream_step_fn(pipe: StyleTransferPipeline, K: int, margin: int,
         inputs = jnp.where(state.n_windows + 1 >= K,
                            jnp.roll(state.inputs, -1, axis=0), state.inputs)
         pos2 = jnp.minimum(state.n_windows + 1, K - 1)
-        inputs = jax.lax.dynamic_update_slice(inputs, fb[None], (pos2, 0))
+        inputs = jax.lax.dynamic_update_slice(
+            inputs, fb[None].astype(inputs.dtype), (pos2, 0))
 
         # ---- overlap-average the first P frames final, stream-ISTFT them ----
-        win = out[0, 0] * frame_valid[None, :, None]  # offline canvas crop
+        # f32 before the OLA/ISTFT tail state and lax.complex (bf16 models)
+        win = (out[0, 0] * frame_valid[None, :, None]).astype(jnp.float32)
         head_cnt = jnp.where(state.n_windows > 0, 2.0, 1.0)
         head = (win[:, :O] + state.spec_tail) / head_cnt
         finalized = jnp.concatenate([head, win[:, O:P]], axis=1)  # (2, P, F)

@@ -309,3 +309,24 @@ def test_stream_invalid_configs(pipe):
     bad_pipe = StyleTransferPipeline.init_random(bad, seed=0)
     with pytest.raises(ValueError, match="overlap"):
         StreamingTransfer(bad_pipe, "violin")
+
+
+@pytest.mark.slow
+def test_stream_bf16_compute(pipe, wav):
+    """The stream step must run under bfloat16 forward compute (the TPU
+    serving default, config.resolve_dtype): regression for the f32 state
+    rings vs bf16 CNN-token/feedback/output dtype mismatch that crashed
+    POST /stream on the epoch-900 flagship daemon. The rings stay f32, the
+    output is f32 and close to the f32-compute stream."""
+    cfg16 = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY_MODEL, dtype="bfloat16"))
+    pipe16 = StyleTransferPipeline.init_random(cfg16, seed=0)
+    out16 = StreamingTransfer(pipe16, "violin", context_windows=4,
+                              margin_frames=MARGIN).process(wav)
+    assert out16.dtype == np.float32
+    assert np.isfinite(out16).all()
+    out32 = StreamingTransfer(pipe, "violin", context_windows=4,
+                              margin_frames=MARGIN).process(wav)
+    # same seed -> same f32 params; bf16 rounds the forward only
+    rel = np.linalg.norm(out16 - out32) / (np.linalg.norm(out32) + 1e-12)
+    assert rel < 0.2, rel
