@@ -463,6 +463,19 @@ class TransferServer:
                         self.pipe.process_audio_batch(
                             enc, np.zeros(b, np.int32), wire=wire)
 
+    def warmup_stream(self, context: int = 8, margin=None) -> None:
+        """Precompile the live-stream window step for the /stream handler's
+        default (context, margin) key so the first session doesn't pay the
+        compile (~70 s through a relay-attached chip, docs/SERVING.md): run
+        a throwaway session over one second of silence and drop it."""
+        sess = self._stream_session(min(self.targets), context, margin)
+        a = self.pipe.cfg.audio
+        # two windows of silence: enough frames for flush() to emit at any
+        # window size (window_size*hop samples/window; 1 s is NOT enough at
+        # the full-size 287x256 geometry)
+        sess.push(np.zeros(2 * a.window_size * a.hop_length, np.float32))
+        sess.flush()
+
     # ------------------------------------------------------------------
 
     @property
@@ -864,6 +877,10 @@ def main(argv=None):
     p.add_argument("--warmup-batch", default="1", metavar="B[,B...]",
                    help="batch-ladder rungs to precompile per warmup bucket "
                         "(e.g. --warmup-batch 1,4,16)")
+    p.add_argument("--warmup-stream", action="store_true",
+                   help="also precompile the /stream window step (the first "
+                        "live session otherwise pays its compile, ~70 s "
+                        "through a relay-attached chip)")
     p.add_argument("--batch-window-ms", type=float, default=8.0,
                    help="dynamic-batching coalesce window")
     p.add_argument("--batch-ladder", default="1,4,16",
@@ -928,6 +945,9 @@ def main(argv=None):
         print(f"warming up {len(lengths)} length bucket(s) "
               f"x batch rungs {rungs}...")
         server.warmup(lengths, batch_sizes=rungs)
+    if args.warmup_stream:
+        print("warming up the /stream window step...")
+        server.warmup_stream()
     host, port = server.address[:2]
     print(f"serving on http://{host}:{port}  "
           f"(POST /transfer?target=violin, GET /healthz)")

@@ -562,3 +562,24 @@ def test_concurrent_streams_coalesce_and_match_solo():
         assert any(k > 1 for k in batcher.hist), dict(batcher.hist)
     finally:
         batcher.stop()
+
+
+def test_warmup_stream_precompiles(stream_server):
+    """--warmup-stream: warmup_stream() must build + exercise the /stream
+    window step for the handler-default key so the first live session finds
+    it in the pipeline's step cache (through the shared _StreamBatcher)."""
+    from ast_tpu.eval.streaming import resolve_margin
+
+    pipe, _host = stream_server
+    srv2 = TransferServer(pipe, port=0, max_seconds=60.0,
+                          bucket_seconds=TINY_AUDIO.clip_seconds)
+    srv2.start_background()
+    try:
+        srv2.warmup_stream(context=4, margin=8)
+        assert (4, 8, False) in pipe.__dict__.get("_stream_steps", {})
+        # default key resolves margin from the config
+        srv2.warmup_stream()
+        m = resolve_margin(pipe.cfg, None)
+        assert (8, m, False) in pipe.__dict__.get("_stream_steps", {})
+    finally:
+        srv2.shutdown()
